@@ -1,0 +1,20 @@
+"""pyslam_tpu — a TPU-native (JAX/XLA/Pallas) Visual SLAM framework.
+
+A from-scratch re-design of the capabilities of pySLAM (luigifreda/pyslam,
+reference at /root/reference) for TPU hardware:
+
+- All numeric kernels are fixed-shape, batched JAX computations (Pallas for the
+  hot ops), driven by a host-side state machine.
+- Feature extraction (ORB2-class FAST+rBRIEF), matching (MXU Hamming /cosine
+  distance matrices + masked top-k), RANSAC (batched hypotheses via vmap),
+  bundle adjustment (batched Levenberg-Marquardt with Schur complement in
+  jax.lax), TSDF voxel hashing (gather/scatter over a flat table) all run
+  on-device.
+- The public Python API mirrors the reference surface (``Slam``, ``track()``,
+  feature tracker configs, dataset factory, map save/load) so a pySLAM user can
+  switch over.  See SURVEY.md for the layer-by-layer mapping.
+"""
+
+__version__ = "0.1.0"
+
+from pyslam_tpu.config_parameters import Parameters  # noqa: F401

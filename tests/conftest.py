@@ -1,0 +1,32 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths (pyslam_tpu.parallel) are validated on host CPU
+devices; real-TPU benchmarking happens in bench.py, not the test suite.
+
+Note: this container's sitecustomize imports jax at interpreter start (axon
+TPU tunnel), so env vars are too late — we reconfigure via jax.config before
+the first backend use instead.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Tests validate the math at float64 on CPU; the TPU production path is
+# f32/bf16 (ops are dtype-polymorphic).
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
