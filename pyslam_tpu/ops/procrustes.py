@@ -1,0 +1,102 @@
+"""Closed-form similarity/rigid alignment (Umeyama/Horn) + RANSAC Sim(3).
+
+TPU-native replacement for the reference's C++ ``sim3solver``
+(pySLAM ``cpp/solvers/Sim3Solver.cpp``, used by the loop-closing geometry
+check ``pyslam/loop_closing/loop_closing.py:195-470``) and for the
+trajectory-alignment tools (``cpp/trajectory/``, ``pyslam/utilities/
+geom_trajectory.py``).  The minimal solver is 3-point weighted Umeyama; RANSAC
+follows the batched-hypothesis pattern (vmap over K samples, joint scoring).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pyslam_tpu.ops import lie
+from pyslam_tpu.ops.epipolar import _sample_minimal
+
+
+def umeyama(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    with_scale: bool = True,
+):
+    """Weighted Umeyama alignment: find (s, R, t) minimizing
+    sum_i w_i || dst_i - (s R src_i + t) ||^2.
+
+    Returns (s, R, t).  With ``with_scale=False`` solves the rigid (SE3) case.
+    """
+    n = src.shape[0]
+    if weights is None:
+        weights = jnp.ones((n,), src.dtype)
+    wsum = jnp.maximum(jnp.sum(weights), 1e-12)
+    w = weights / wsum
+    mu_s = jnp.sum(src * w[:, None], axis=0)
+    mu_d = jnp.sum(dst * w[:, None], axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = (dc * w[:, None]).T @ sc  # (3,3) = sum w d s^T
+    U, S, Vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    D = jnp.array([1.0, 1.0, 0.0], src.dtype) + jnp.array([0.0, 0.0, 1.0], src.dtype) * d
+    R = (U * D[None, :]) @ Vt
+    var_s = jnp.sum(w * jnp.sum(sc * sc, axis=-1))
+    if with_scale:
+        s = jnp.sum(S * D) / jnp.maximum(var_s, 1e-12)
+    else:
+        s = jnp.ones((), src.dtype)
+    t = mu_d - s * (R @ mu_s)
+    return s, R, t
+
+
+def umeyama_S(src, dst, weights=None, with_scale=True) -> jnp.ndarray:
+    """Umeyama returning a 4x4 Sim(3) matrix [sR t; 0 1] mapping src->dst."""
+    s, R, t = umeyama(src, dst, weights, with_scale)
+    return lie.srt_to_S(s, R, t)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hyp", "with_scale"))
+def sim3_ransac(
+    key,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    valid: jnp.ndarray,
+    threshold2: float,
+    num_hyp: int = 256,
+    with_scale: bool = True,
+):
+    """RANSAC Sim(3) (or SE(3)) between two 3D point sets in correspondence.
+
+    Mirrors Sim3Solver: minimal samples of 3 pairs, alignment error is the
+    squared 3D distance after mapping pts1 -> pts2 frame.  Returns
+    (S_21 (4,4), inlier_mask, count).
+    """
+    samples = _sample_minimal(key, valid, num_hyp, 3)
+
+    def solve(idx):
+        return umeyama_S(pts1[idx], pts2[idx], with_scale=with_scale)
+
+    Ss = jax.vmap(solve)(samples)  # (K,4,4)
+
+    def err(S):
+        mapped = lie.sim3_transform_points(S, pts1)
+        return jnp.sum((mapped - pts2) ** 2, axis=-1)
+
+    errs = jax.vmap(err)(Ss)
+    inl = (errs < threshold2) & valid[None, :]
+    scores = jnp.sum(inl, axis=1)
+    best = jnp.argmax(scores)
+    mask = inl[best]
+
+    # refine on all inliers
+    S_ref = umeyama_S(pts1, pts2, weights=mask.astype(pts1.dtype), with_scale=with_scale)
+    errs_ref = err(S_ref)
+    mask_ref = (errs_ref < threshold2) & valid
+    use_ref = jnp.sum(mask_ref) >= jnp.sum(mask)
+    S_out = jnp.where(use_ref, S_ref, Ss[best])
+    mask_out = jnp.where(use_ref, mask_ref, mask)
+    return S_out, mask_out, jnp.sum(mask_out)
