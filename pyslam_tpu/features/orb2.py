@@ -1,0 +1,151 @@
+"""ORB2-class feature extractor: FAST-9 + grid NMS + rBRIEF over a pyramid.
+
+The TPU-native equivalent of the reference's default feature engine — the
+ORB-SLAM2 C++ extractor wrapped by pySLAM
+(``pyslam/local_features/feature_orbslam2.py`` ->
+``thirdparty/orbslam2_features/ORBextractor.cpp``).  The whole per-image
+pipeline (pyramid, per-level FAST score, 3x3 NMS, per-cell top-k distribution,
+per-level quotas, orientation, steered BRIEF) compiles into ONE jitted XLA
+graph per image shape; output shapes are fixed at ``num_features`` slots with
+a validity mask.
+
+Per-level keypoint quotas follow the reference's geometric distribution over
+pyramid levels (n_l proportional to (1/scale)^l).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.ops import fast, image as image_ops, nms, orb
+
+
+class FeatureData(NamedTuple):
+    """Fixed-shape extraction result (level-0 / undistorted-image coords).
+
+    xy:      (N, 2) float32 pixel coords at level-0 scale
+    level:   (N,)   int32 pyramid level
+    angle:   (N,)   float32 orientation in degrees [0, 360)
+    size:    (N,)   float32 diameter (31 * scale^level)
+    response:(N,)   float32 detector response
+    desc:    (N, 256) int8 unpacked descriptor bits
+    valid:   (N,)   bool
+    """
+
+    xy: jnp.ndarray
+    level: jnp.ndarray
+    angle: jnp.ndarray
+    size: jnp.ndarray
+    response: jnp.ndarray
+    desc: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def level_quotas(num_features: int, num_levels: int, scale: float) -> list[int]:
+    """Geometric per-level quota (sum == num_features)."""
+    inv = 1.0 / scale
+    weights = np.array([inv ** l for l in range(num_levels)])
+    q = np.floor(num_features * weights / weights.sum()).astype(int)
+    q[0] += num_features - q.sum()
+    return [int(x) for x in q]
+
+
+def level_sigma2(num_levels: int, scale: float) -> np.ndarray:
+    """Per-level measurement variance (scale^2l), reference
+    ``feature_manager.py:1023`` init_sigma_levels."""
+    return np.array([scale ** (2 * l) for l in range(num_levels)], np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_features", "num_levels", "scale", "fast_th", "cell", "per_cell"),
+)
+def _extract_jit(
+    img: jnp.ndarray,
+    num_features: int,
+    num_levels: int,
+    scale: float,
+    fast_th: float,
+    cell: int,
+    per_cell: int,
+):
+    quotas = level_quotas(num_features, num_levels, scale)
+    pyr = image_ops.build_pyramid(img, num_levels, scale)
+
+    outs = []
+    for lv in range(num_levels):
+        lv_img = pyr[lv]
+        quota = quotas[lv]
+        if quota == 0:
+            continue
+        score = fast.fast_score_map(lv_img, fast_th)
+        score = fast.nms3x3(score)
+        xy, resp, valid = nms.grid_topk_keypoints(
+            score, cell=cell, per_cell=per_cell, max_out=quota
+        )
+        angles = orb.keypoint_angles(lv_img, xy)
+        blurred = image_ops.gaussian_blur(lv_img, sigma=2.0, radius=3)
+        desc = orb.brief_descriptors(blurred, xy, angles)
+
+        s = scale ** lv
+        outs.append(
+            FeatureData(
+                xy=xy * s,
+                level=jnp.full((quota,), lv, jnp.int32),
+                angle=jnp.degrees(angles) % 360.0,
+                size=jnp.full((quota,), 31.0 * s, jnp.float32),
+                response=resp.astype(jnp.float32),
+                desc=desc,
+                valid=valid,
+            )
+        )
+
+    cat = FeatureData(*[jnp.concatenate([getattr(o, f) for o in outs], axis=0)
+                        for f in FeatureData._fields])
+    # quotas sum to num_features; assert static shape
+    assert cat.xy.shape[0] == num_features
+    return cat
+
+
+class ORB2Extractor:
+    """Callable extractor with the reference's ORB2 configuration surface."""
+
+    def __init__(
+        self,
+        num_features: int | None = None,
+        num_levels: int | None = None,
+        scale_factor: float | None = None,
+        fast_threshold: float | None = None,
+        cell: int = 16,
+        per_cell: int = 6,
+    ):
+        self.num_features = num_features or Parameters.kNumFeatures
+        self.num_levels = num_levels or Parameters.kNumLevels
+        self.scale_factor = scale_factor or Parameters.kScaleFactor
+        self.fast_threshold = fast_threshold or Parameters.kFASTThreshold
+        self.cell = cell
+        self.per_cell = per_cell
+        self.scale_factors = np.array(
+            [self.scale_factor ** l for l in range(self.num_levels)], np.float32
+        )
+        self.sigma2 = level_sigma2(self.num_levels, self.scale_factor)
+        self.inv_sigma2 = 1.0 / self.sigma2
+
+    def __call__(self, img) -> FeatureData:
+        """img: (H, W) grayscale uint8/float array -> FeatureData."""
+        img = jnp.asarray(img, jnp.float32)
+        return _extract_jit(
+            img,
+            self.num_features,
+            self.num_levels,
+            self.scale_factor,
+            float(self.fast_threshold),
+            self.cell,
+            self.per_cell,
+        )

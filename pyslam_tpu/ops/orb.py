@@ -1,0 +1,113 @@
+"""Oriented BRIEF (rBRIEF) descriptors + intensity-centroid orientation.
+
+TPU-native replacement for the descriptor stage of the reference's default
+ORB2 extractor (``thirdparty/orbslam2_features/ORBextractor.cpp``).  Design:
+
+- Orientation: the intensity-centroid moments m10/m01 over the radius-15
+  circular patch are computed for the WHOLE image as two convolutions with
+  fixed (x*mask)/(y*mask) kernels, then sampled at keypoint locations — no
+  per-keypoint patch gathers.
+- Descriptors: a fixed 256-pair sampling pattern (generated once from a seeded
+  Gaussian, BRIEF G-II scheme — deliberately NOT a copy of OpenCV's learned
+  table; cross-implementation descriptor equality is not required, only
+  self-consistency) is rotated by each keypoint's angle and sampled with
+  nearest-neighbor gathers from the blurred image.  512 gathers x N keypoints
+  as one vectorized take.
+
+Descriptors are returned as unpacked 0/1 bit-planes (N, 256) int8 — the
+native layout for the MXU Hamming matcher (see ops/hamming.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PATCH_RADIUS = 15           # orientation patch
+PATTERN_RADIUS = 13         # max offset so rotated samples stay inside 15
+NUM_BITS = 256
+
+
+def _make_pattern(seed: int = 20240618) -> np.ndarray:
+    """(256, 4) int8 pattern rows (x1, y1, x2, y2), Gaussian G-II sampling."""
+    rng = np.random.default_rng(seed)
+    sigma = PATCH_RADIUS * 2 / 5.0
+    pts = rng.normal(0.0, sigma, size=(NUM_BITS, 4))
+    pts = np.clip(np.round(pts), -PATTERN_RADIUS, PATTERN_RADIUS)
+    return pts.astype(np.int8)
+
+
+PATTERN = jnp.asarray(_make_pattern())  # (256,4)
+
+
+def _circular_mask_kernels():
+    """31x31 kernels (x*mask, y*mask) for centroid moments."""
+    r = PATCH_RADIUS
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
+    mask = (xs * xs + ys * ys) <= r * r
+    kx = (xs * mask).astype(np.float32)
+    ky = (ys * mask).astype(np.float32)
+    return jnp.asarray(kx), jnp.asarray(ky)
+
+
+_KX, _KY = _circular_mask_kernels()
+
+
+@jax.jit
+def orientation_maps(img: jnp.ndarray):
+    """(m10, m01) moment maps via two 31x31 convolutions."""
+    r = PATCH_RADIUS
+    p = jnp.pad(img, r, mode="edge")[None, None]
+    m10 = jax.lax.conv_general_dilated(
+        p, _KX.astype(img.dtype)[None, None], (1, 1), "VALID"
+    )[0, 0]
+    m01 = jax.lax.conv_general_dilated(
+        p, _KY.astype(img.dtype)[None, None], (1, 1), "VALID"
+    )[0, 0]
+    return m10, m01
+
+
+@jax.jit
+def keypoint_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle (radians, [-pi, pi]) at (N,2) pixel coords."""
+    m10, m01 = orientation_maps(img)
+    h, w = img.shape
+    x = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    a10 = m10.reshape(-1)[y * w + x]
+    a01 = m01.reshape(-1)[y * w + x]
+    return jnp.arctan2(a01, a10)
+
+
+@jax.jit
+def brief_descriptors(
+    img_blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray
+) -> jnp.ndarray:
+    """Steered BRIEF: (N, 256) int8 bits from rotated pattern comparisons."""
+    h, w = img_blurred.shape
+    c = jnp.cos(angles)[:, None]
+    s = jnp.sin(angles)[:, None]
+    px1 = PATTERN[None, :, 0].astype(img_blurred.dtype)
+    py1 = PATTERN[None, :, 1].astype(img_blurred.dtype)
+    px2 = PATTERN[None, :, 2].astype(img_blurred.dtype)
+    py2 = PATTERN[None, :, 3].astype(img_blurred.dtype)
+
+    # rotate offsets (same rounding scheme as steered BRIEF)
+    x1 = jnp.round(xy[:, 0:1] + c * px1 - s * py1).astype(jnp.int32)
+    y1 = jnp.round(xy[:, 1:2] + s * px1 + c * py1).astype(jnp.int32)
+    x2 = jnp.round(xy[:, 0:1] + c * px2 - s * py2).astype(jnp.int32)
+    y2 = jnp.round(xy[:, 1:2] + s * px2 + c * py2).astype(jnp.int32)
+
+    flat = img_blurred.reshape(-1)
+
+    def fetch(x, y):
+        xi = jnp.clip(x, 0, w - 1)
+        yi = jnp.clip(y, 0, h - 1)
+        return flat[yi * w + xi]
+
+    i1 = fetch(x1, y1)
+    i2 = fetch(x2, y2)
+    return (i1 < i2).astype(jnp.int8)
