@@ -23,24 +23,19 @@ def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("sigma", "radius"))
 def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
-    """Separable Gaussian blur with edge replication (matches cv2 BORDER_REFLECT
-    closely enough for descriptor sampling)."""
+    """Separable Gaussian blur with edge replication.
+
+    Implemented as shift-and-add (2*(2r+1) shifted scalings) rather than
+    ``lax.conv``: single-channel convs can't use the MXU and lower poorly on
+    TPU, while shifted adds are pure VPU streams.
+    """
     k = gaussian_kernel1d(sigma, radius).astype(img.dtype)
-    pad = [(radius, radius), (0, 0)]
-    x = jnp.pad(img, pad, mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    x = jnp.pad(x, [(0, 0), (radius, radius)], mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
+    x = jnp.pad(img, ((radius, radius), (0, 0)), mode="edge")
+    h = img.shape[0]
+    x = sum(k[i] * x[i : i + h, :] for i in range(2 * radius + 1))
+    x = jnp.pad(x, ((0, 0), (radius, radius)), mode="edge")
+    w = img.shape[1]
+    x = sum(k[i] * x[:, i : i + w] for i in range(2 * radius + 1))
     return x
 
 

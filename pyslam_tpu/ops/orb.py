@@ -43,43 +43,40 @@ def _make_pattern(seed: int = 20240618) -> np.ndarray:
 PATTERN = jnp.asarray(_make_pattern())  # (256,4)
 
 
-def _circular_mask_kernels():
-    """31x31 kernels (x*mask, y*mask) for centroid moments."""
+def _circle_offsets():
+    """In-circle (dy, dx) offsets and their (dx, dy) weights for the moments.
+
+    Per-keypoint gathers beat a 31x31 whole-image convolution on TPU: a
+    1-in/1-out-channel conv cannot use the MXU and measured ~200ms/frame,
+    while a (N_kp, n_offsets) gather is sub-millisecond.
+    """
     r = PATCH_RADIUS
     ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
     mask = (xs * xs + ys * ys) <= r * r
-    kx = (xs * mask).astype(np.float32)
-    ky = (ys * mask).astype(np.float32)
-    return jnp.asarray(kx), jnp.asarray(ky)
+    dy = ys[mask].astype(np.int32)
+    dx = xs[mask].astype(np.int32)
+    return jnp.asarray(dy), jnp.asarray(dx)
 
 
-_KX, _KY = _circular_mask_kernels()
-
-
-@jax.jit
-def orientation_maps(img: jnp.ndarray):
-    """(m10, m01) moment maps via two 31x31 convolutions."""
-    r = PATCH_RADIUS
-    p = jnp.pad(img, r, mode="edge")[None, None]
-    m10 = jax.lax.conv_general_dilated(
-        p, _KX.astype(img.dtype)[None, None], (1, 1), "VALID"
-    )[0, 0]
-    m01 = jax.lax.conv_general_dilated(
-        p, _KY.astype(img.dtype)[None, None], (1, 1), "VALID"
-    )[0, 0]
-    return m10, m01
+_CIRC_DY, _CIRC_DX = _circle_offsets()
 
 
 @jax.jit
 def keypoint_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle (radians, [-pi, pi]) at (N,2) pixel coords."""
-    m10, m01 = orientation_maps(img)
+    """Intensity-centroid angle (radians, [-pi, pi]) at (N,2) pixel coords.
+
+    Gathers the radius-15 circular patch per keypoint (clamped at borders) and
+    reduces the m10/m01 moments on the VPU.
+    """
     h, w = img.shape
-    x = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    a10 = m10.reshape(-1)[y * w + x]
-    a01 = m01.reshape(-1)[y * w + x]
-    return jnp.arctan2(a01, a10)
+    x0 = jnp.round(xy[:, 0]).astype(jnp.int32)
+    y0 = jnp.round(xy[:, 1]).astype(jnp.int32)
+    xs = jnp.clip(x0[:, None] + _CIRC_DX[None, :], 0, w - 1)   # (N, M)
+    ys = jnp.clip(y0[:, None] + _CIRC_DY[None, :], 0, h - 1)
+    vals = img.reshape(-1)[ys * w + xs]                         # (N, M)
+    m10 = jnp.sum(vals * _CIRC_DX[None, :].astype(img.dtype), axis=1)
+    m01 = jnp.sum(vals * _CIRC_DY[None, :].astype(img.dtype), axis=1)
+    return jnp.arctan2(m01, m10)
 
 
 @jax.jit
