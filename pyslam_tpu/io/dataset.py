@@ -1,0 +1,405 @@
+"""Dataset loaders: KITTI / TUM / EuRoC / ICL-NUIM / folder / video / synthetic.
+
+Host-side analog of the reference's dataset classes (pySLAM
+``pyslam/io/dataset.py:51-1642``) with the same iteration surface:
+``dataset.getImage(i)``, ``getImageRight(i)``, ``getDepth(i)``,
+``getTimestamp(i)``, ``num_frames``, ``sensor_type``.  Image decoding uses
+PIL (no OpenCV dependency); all loaders return float32 grayscale (H, W) in
+[0, 255] plus optional color.
+
+The SYNTHETIC dataset renders a deterministic blob-textured 3D world along a
+parametric camera trajectory with exact ground truth — the framework's
+fixture for end-to-end SLAM tests (the reference relies on real datasets on
+disk; we need hermetic CI).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pyslam_tpu.io.dataset_types import DatasetEnvironmentType, DatasetType, SensorType
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("L", "I;16", "I"):
+        img = img.convert("L")
+    arr = np.asarray(img)
+    return arr.astype(np.float32)
+
+
+def _imread_color(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def _imread_depth_png(path: str, depth_factor: float) -> np.ndarray:
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path)).astype(np.float32)
+    return arr / depth_factor
+
+
+class DatasetBase:
+    sensor_type: SensorType = SensorType.MONOCULAR
+    environment_type: DatasetEnvironmentType = DatasetEnvironmentType.OUTDOOR
+    num_frames: int = 0
+    fps: float = 30.0
+    depth_factor: float = 1.0
+
+    def getImage(self, i: int) -> np.ndarray | None:
+        raise NotImplementedError
+
+    def getImageColor(self, i: int) -> np.ndarray | None:
+        return None
+
+    def getImageRight(self, i: int) -> np.ndarray | None:
+        return None
+
+    def getDepth(self, i: int) -> np.ndarray | None:
+        return None
+
+    def getTimestamp(self, i: int) -> float:
+        return i / self.fps
+
+    def isOk(self) -> bool:
+        return True
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def __iter__(self):
+        for i in range(self.num_frames):
+            yield i, self.getImage(i), self.getImageRight(i), self.getDepth(i), self.getTimestamp(i)
+
+
+class KittiDataset(DatasetBase):
+    """KITTI odometry: ``sequences/NN/image_0`` (left) / ``image_1`` (right),
+    ``times.txt`` (reference KittiDataset, pySLAM ``io/dataset.py``)."""
+
+    def __init__(self, base_path: str, sequence: str, sensor_type=SensorType.STEREO):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.OUTDOOR
+        seq_dir = os.path.join(base_path, "sequences", sequence)
+        self.left = sorted(glob.glob(os.path.join(seq_dir, "image_0", "*.png")))
+        self.right = sorted(glob.glob(os.path.join(seq_dir, "image_1", "*.png")))
+        self.num_frames = len(self.left)
+        times_file = os.path.join(seq_dir, "times.txt")
+        if os.path.exists(times_file):
+            self.timestamps = np.loadtxt(times_file)
+        else:
+            self.timestamps = np.arange(self.num_frames) / 10.0
+        self.fps = 10.0
+
+    def getImage(self, i):
+        return _imread_gray(self.left[i]) if i < self.num_frames else None
+
+    def getImageColor(self, i):
+        return _imread_color(self.left[i]) if i < self.num_frames else None
+
+    def getImageRight(self, i):
+        if self.sensor_type == SensorType.STEREO and i < len(self.right):
+            return _imread_gray(self.right[i])
+        return None
+
+    def getTimestamp(self, i):
+        return float(self.timestamps[i])
+
+
+class TumDataset(DatasetBase):
+    """TUM RGBD: ``rgb.txt`` / ``depth.txt`` with timestamp filename pairs,
+    associated by nearest timestamp (reference TumDataset + associate logic)."""
+
+    def __init__(self, base_path: str, sequence: str, associations: str | None = None,
+                 sensor_type=SensorType.RGBD):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.INDOOR
+        self.depth_factor = 5000.0
+        self.seq_dir = os.path.join(base_path, sequence)
+        rgb_list = self._read_file_list(os.path.join(self.seq_dir, "rgb.txt"))
+        depth_list = self._read_file_list(os.path.join(self.seq_dir, "depth.txt"))
+        pairs = self._associate(rgb_list, depth_list, max_dt=0.08)
+        self.rgb_files = [rgb_list[a] for a, b in pairs]
+        self.depth_files = [depth_list[b] for a, b in pairs]
+        self.timestamps = np.array([a for a, b in pairs])
+        self.num_frames = len(pairs)
+        self.fps = 30.0
+
+    @staticmethod
+    def _read_file_list(path: str) -> dict:
+        out = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                out[float(parts[0])] = parts[1]
+        return out
+
+    @staticmethod
+    def _associate(a: dict, b: dict, max_dt: float):
+        """Greedy nearest-timestamp association (same algorithm as the TUM
+        benchmark's associate.py used by the reference)."""
+        pairs = []
+        b_keys = sorted(b.keys())
+        used = set()
+        for ta in sorted(a.keys()):
+            best, best_dt = None, max_dt
+            import bisect
+
+            i = bisect.bisect_left(b_keys, ta)
+            for j in (i - 1, i, i + 1):
+                if 0 <= j < len(b_keys) and b_keys[j] not in used:
+                    dt = abs(b_keys[j] - ta)
+                    if dt < best_dt:
+                        best, best_dt = b_keys[j], dt
+            if best is not None:
+                used.add(best)
+                pairs.append((ta, best))
+        return pairs
+
+    def getImage(self, i):
+        return _imread_gray(os.path.join(self.seq_dir, self.rgb_files[i]))
+
+    def getImageColor(self, i):
+        return _imread_color(os.path.join(self.seq_dir, self.rgb_files[i]))
+
+    def getDepth(self, i):
+        return _imread_depth_png(
+            os.path.join(self.seq_dir, self.depth_files[i]), self.depth_factor
+        )
+
+    def getTimestamp(self, i):
+        return float(self.timestamps[i])
+
+
+class EurocDataset(DatasetBase):
+    """EuRoC MAV: ``mav0/cam0/data`` + ``cam1/data``, timestamps from csv."""
+
+    def __init__(self, base_path: str, sequence: str, sensor_type=SensorType.STEREO):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.INDOOR
+        seq = os.path.join(base_path, sequence, "mav0")
+        self.left = sorted(glob.glob(os.path.join(seq, "cam0", "data", "*.png")))
+        self.right = sorted(glob.glob(os.path.join(seq, "cam1", "data", "*.png")))
+        self.num_frames = len(self.left)
+        self.timestamps = np.array(
+            [float(os.path.splitext(os.path.basename(p))[0]) * 1e-9 for p in self.left]
+        )
+        self.fps = 20.0
+
+    def getImage(self, i):
+        return _imread_gray(self.left[i])
+
+    def getImageRight(self, i):
+        if self.sensor_type == SensorType.STEREO and i < len(self.right):
+            return _imread_gray(self.right[i])
+        return None
+
+    def getTimestamp(self, i):
+        return float(self.timestamps[i])
+
+
+class IclNuimDataset(TumDataset):
+    """ICL-NUIM in TUM-compatible layout (reference treats it the same)."""
+
+    def __init__(self, base_path, sequence, **kw):
+        super().__init__(base_path, sequence, **kw)
+        self.depth_factor = 5000.0
+
+
+class FolderDataset(DatasetBase):
+    """Glob a folder of images (reference FolderDataset)."""
+
+    def __init__(self, path: str, pattern: str = "*.png", fps: float = 30.0,
+                 sensor_type=SensorType.MONOCULAR):
+        self.sensor_type = sensor_type
+        self.files = sorted(glob.glob(os.path.join(path, pattern)))
+        self.num_frames = len(self.files)
+        self.fps = fps
+
+    def getImage(self, i):
+        return _imread_gray(self.files[i]) if i < self.num_frames else None
+
+    def getImageColor(self, i):
+        return _imread_color(self.files[i]) if i < self.num_frames else None
+
+
+class VideoDataset(DatasetBase):
+    """Video file via imageio/ffmpeg when available (reference VideoDataset)."""
+
+    def __init__(self, path: str, fps: float = 30.0, sensor_type=SensorType.MONOCULAR):
+        self.sensor_type = sensor_type
+        self.fps = fps
+        try:
+            import imageio.v3 as iio
+
+            self._frames = iio.imread(path)  # (T,H,W,3)
+            self.num_frames = len(self._frames)
+        except Exception as e:  # pragma: no cover - environment dependent
+            raise RuntimeError(f"video decoding unavailable: {e}")
+
+    def getImage(self, i):
+        f = self._frames[i]
+        return (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).astype(
+            np.float32
+        )
+
+
+@dataclass
+class SyntheticWorld:
+    """Deterministic 3D blob world + camera trajectory for hermetic tests."""
+
+    n_points: int = 3000
+    extent: float = 30.0
+    depth_range: tuple = (4.0, 40.0)
+    seed: int = 7
+    points: np.ndarray = field(init=False)
+    intensities: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        # points spread through a corridor volume along +z
+        self.points = np.stack(
+            [
+                rng.uniform(-self.extent, self.extent, self.n_points),
+                rng.uniform(-self.extent * 0.3, self.extent * 0.3, self.n_points),
+                rng.uniform(-self.extent, self.extent, self.n_points),
+            ],
+            axis=1,
+        )
+        self.intensities = rng.uniform(80, 255, self.n_points).astype(np.float32)
+        self.radii = rng.uniform(1.5, 4.0, self.n_points).astype(np.float32)
+
+
+class SyntheticDataset(DatasetBase):
+    """Renders the blob world along a smooth trajectory with exact GT.
+
+    Rendering: project world points, splat square blobs of per-point constant
+    intensity (nearest wins by depth).  Produces FAST-trackable corners at
+    blob corners, stereo pair via a horizontal baseline, and dense depth maps
+    — enough to drive the full mono/stereo/RGBD SLAM stack hermetically.
+    """
+
+    def __init__(
+        self,
+        num_frames: int = 60,
+        h: int = 240,
+        w: int = 320,
+        fx: float = 200.0,
+        baseline: float = 0.2,
+        trajectory: str = "arc",
+        sensor_type=SensorType.STEREO,
+        world: SyntheticWorld | None = None,
+        step: float = 0.25,
+    ):
+        self.sensor_type = sensor_type
+        self.num_frames = num_frames
+        self.h, self.w = h, w
+        self.fx = self.fy = fx
+        self.cx, self.cy = w / 2.0, h / 2.0
+        self.baseline = baseline
+        self.fps = 10.0
+        self.world = world or SyntheticWorld()
+        self.step = step
+        self.trajectory = trajectory
+        self.poses = self._make_trajectory()  # (T,4,4) Twc (camera->world)
+
+    def _make_trajectory(self):
+        poses = []
+        for i in range(self.num_frames):
+            if self.trajectory == "line":
+                t = np.array([0.0, 0.0, i * self.step])
+                yaw = 0.0
+            elif self.trajectory == "arc":
+                th = 0.004 * i * i * 0.1 + 0.01 * i
+                radius = 60.0
+                t = np.array(
+                    [radius * (1 - np.cos(th * 0.3)), 0.0, radius * np.sin(th * 0.3)]
+                )
+                yaw = th * 0.3
+            elif self.trajectory == "loop":
+                th = 2 * np.pi * i / self.num_frames
+                radius = 12.0
+                t = np.array([radius * np.sin(th), 0.0, radius * (1 - np.cos(th))])
+                yaw = th
+            else:
+                raise ValueError(self.trajectory)
+            c, s = np.cos(yaw), np.sin(yaw)
+            Rwc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            T = np.eye(4)
+            T[:3, :3] = Rwc
+            T[:3, 3] = t
+            poses.append(T)
+        return np.stack(poses)
+
+    @property
+    def K(self):
+        return np.array(
+            [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]], np.float64
+        )
+
+    def groundtruth_Twc(self, i):
+        return self.poses[i]
+
+    def _render(self, Tcw):
+        w_pts = self.world.points
+        pc = (Tcw[:3, :3] @ w_pts.T).T + Tcw[:3, 3]
+        z = pc[:, 2]
+        vis = z > 0.5
+        u = self.fx * pc[:, 0] / np.where(vis, z, 1.0) + self.cx
+        v = self.fy * pc[:, 1] / np.where(vis, z, 1.0) + self.cy
+        img = np.full((self.h, self.w), 30.0, np.float32)
+        zbuf = np.full((self.h, self.w), np.inf, np.float32)
+        order = np.argsort(-z)  # far to near: near overwrites
+        for idx in order:
+            if not vis[idx]:
+                continue
+            r = max(int(round(self.world.radii[idx] * self.fx / (z[idx] * 50.0) * 10)), 1)
+            x0, y0 = int(round(u[idx])), int(round(v[idx]))
+            if x0 + r < 0 or x0 - r >= self.w or y0 + r < 0 or y0 - r >= self.h:
+                continue
+            xa, xb = max(x0 - r, 0), min(x0 + r + 1, self.w)
+            ya, yb = max(y0 - r, 0), min(y0 + r + 1, self.h)
+            patch_z = zbuf[ya:yb, xa:xb]
+            mask = patch_z > z[idx]
+            img[ya:yb, xa:xb][mask] = self.world.intensities[idx]
+            patch_z[mask] = z[idx]
+        return img, zbuf
+
+    def _Tcw(self, i, right=False):
+        Twc = self.poses[i].copy()
+        if right:
+            Twc[:3, 3] += Twc[:3, :3] @ np.array([self.baseline, 0, 0])
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = Twc[:3, :3].T
+        Tcw[:3, 3] = -Twc[:3, :3].T @ Twc[:3, 3]
+        return Tcw
+
+    def getImage(self, i):
+        img, _ = self._render(self._Tcw(i))
+        return img
+
+    def getImageRight(self, i):
+        if self.sensor_type != SensorType.STEREO:
+            return None
+        img, _ = self._render(self._Tcw(i, right=True))
+        return img
+
+    def getDepth(self, i):
+        if self.sensor_type != SensorType.RGBD:
+            return None
+        _, zbuf = self._render(self._Tcw(i))
+        depth = np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+        return depth
+
+    def getTimestamp(self, i):
+        return i / self.fps

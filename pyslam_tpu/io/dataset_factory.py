@@ -1,0 +1,61 @@
+"""Dataset factory dispatch (reference: pySLAM ``io/dataset_factory.py:78``)."""
+
+from __future__ import annotations
+
+from pyslam_tpu.io.dataset import (
+    DatasetBase,
+    EurocDataset,
+    FolderDataset,
+    IclNuimDataset,
+    KittiDataset,
+    SyntheticDataset,
+    TumDataset,
+    VideoDataset,
+)
+from pyslam_tpu.io.dataset_types import DatasetType, SensorType
+
+
+def dataset_factory(config) -> DatasetBase:
+    """Build a dataset from a config object/dict with the reference's fields:
+    ``type``, ``base_path``/``path``, ``name``/``sequence``, ``sensor_type``."""
+    if isinstance(config, dict):
+        d = config
+    else:
+        d = config.dataset_settings
+
+    ds_type = d.get("type", "synthetic")
+    if isinstance(ds_type, str):
+        ds_type = DatasetType(ds_type.lower())
+    sensor = d.get("sensor_type", "mono")
+    if isinstance(sensor, str):
+        sensor = {
+            "mono": SensorType.MONOCULAR,
+            "monocular": SensorType.MONOCULAR,
+            "stereo": SensorType.STEREO,
+            "rgbd": SensorType.RGBD,
+        }[sensor.lower()]
+
+    base = d.get("base_path", d.get("path", "."))
+    name = d.get("name", d.get("sequence", ""))
+
+    if ds_type == DatasetType.KITTI:
+        return KittiDataset(base, name, sensor)
+    if ds_type == DatasetType.TUM:
+        return TumDataset(base, name, sensor_type=sensor)
+    if ds_type == DatasetType.ICL_NUIM:
+        return IclNuimDataset(base, name, sensor_type=sensor)
+    if ds_type == DatasetType.EUROC:
+        return EurocDataset(base, name, sensor)
+    if ds_type == DatasetType.FOLDER:
+        return FolderDataset(base, d.get("glob", "*.png"), d.get("fps", 30.0), sensor)
+    if ds_type == DatasetType.VIDEO:
+        return VideoDataset(base, d.get("fps", 30.0), sensor)
+    if ds_type == DatasetType.SYNTHETIC:
+        return SyntheticDataset(
+            num_frames=d.get("num_frames", 60),
+            h=d.get("h", 240),
+            w=d.get("w", 320),
+            trajectory=d.get("trajectory", "arc"),
+            sensor_type=sensor,
+        )
+    raise ValueError(f"dataset type not supported yet: {ds_type}")
