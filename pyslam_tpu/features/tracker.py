@@ -1,0 +1,176 @@
+"""Feature trackers: detector+descriptor+matcher bundles + config presets.
+
+Reference surface: pySLAM ``pyslam/local_features/feature_tracker.py:56``
+(``feature_tracker_factory``) and ``feature_tracker_configs.py:43-510``
+(``FeatureTrackerConfigs`` presets).  A tracker owns an extractor (ORB2 JAX
+pipeline today; learned extractors plug in via the models package) and a
+matcher; ``track(f1, f2)`` returns index pairs.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.features.matcher import (
+    FeatureMatcher,
+    FeatureMatcherTypes,
+    feature_matcher_factory,
+)
+from pyslam_tpu.features.orb2 import ORB2Extractor, FeatureData
+from pyslam_tpu.features.types import (
+    FEATURE_INFO,
+    FeatureDescriptorTypes,
+    FeatureDetectorTypes,
+    NormType,
+)
+
+
+class FeatureTrackerTypes(enum.Enum):
+    DES_BF = 0    # descriptor matching, brute force (default)
+    DES_NN = 1
+    LK = 2        # Lucas-Kanade optical flow (pyramidal, JAX)
+    XFEAT = 3
+    LIGHTGLUE = 4
+
+
+@dataclass
+class FeatureTrackerConfig:
+    name: str = "ORB2"
+    detector_type: FeatureDetectorTypes = FeatureDetectorTypes.ORB2
+    descriptor_type: FeatureDescriptorTypes = FeatureDescriptorTypes.ORB2
+    tracker_type: FeatureTrackerTypes = FeatureTrackerTypes.DES_BF
+    num_features: int = 2000
+    num_levels: int = 8
+    scale_factor: float = 1.2
+    ratio_test: float = 0.75
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self):
+        return {
+            "name": self.name,
+            "detector_type": self.detector_type.name,
+            "descriptor_type": self.descriptor_type.name,
+            "tracker_type": self.tracker_type.name,
+            "num_features": self.num_features,
+            "num_levels": self.num_levels,
+            "scale_factor": self.scale_factor,
+            "ratio_test": self.ratio_test,
+        }
+
+    @staticmethod
+    def from_json(d):
+        return FeatureTrackerConfig(
+            name=d.get("name", "ORB2"),
+            detector_type=FeatureDetectorTypes[d.get("detector_type", "ORB2")],
+            descriptor_type=FeatureDescriptorTypes[d.get("descriptor_type", "ORB2")],
+            tracker_type=FeatureTrackerTypes[d.get("tracker_type", "DES_BF")],
+            num_features=d.get("num_features", 2000),
+            num_levels=d.get("num_levels", 8),
+            scale_factor=d.get("scale_factor", 1.2),
+            ratio_test=d.get("ratio_test", 0.75),
+        )
+
+
+class FeatureTrackerConfigs:
+    """Preset registry mirroring the reference's class-of-dicts style."""
+
+    ORB2 = FeatureTrackerConfig(name="ORB2")
+    ORB2_BF = FeatureTrackerConfig(name="ORB2_BF")
+    ORB = FeatureTrackerConfig(name="ORB", num_levels=8)
+    FAST_ORB = FeatureTrackerConfig(
+        name="FAST_ORB", detector_type=FeatureDetectorTypes.FAST
+    )
+    # learned-feature presets activate the flax models when weights are present
+    SUPERPOINT = FeatureTrackerConfig(
+        name="SUPERPOINT",
+        detector_type=FeatureDetectorTypes.SUPERPOINT,
+        descriptor_type=FeatureDescriptorTypes.SUPERPOINT,
+        num_features=1000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
+    XFEAT = FeatureTrackerConfig(
+        name="XFEAT",
+        detector_type=FeatureDetectorTypes.XFEAT,
+        descriptor_type=FeatureDescriptorTypes.XFEAT,
+        num_features=2000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
+
+    @staticmethod
+    def get(name: str) -> FeatureTrackerConfig:
+        cfg = getattr(FeatureTrackerConfigs, name, None)
+        if cfg is None:
+            raise KeyError(f"unknown tracker preset {name}")
+        return cfg
+
+
+class FeatureTracker:
+    """Detector + descriptor + matcher bundle."""
+
+    def __init__(self, config: FeatureTrackerConfig):
+        self.config = config
+        self.num_features = config.num_features
+        self.num_levels = config.num_levels
+        self.scale_factor = config.scale_factor
+
+        if config.detector_type in (FeatureDetectorTypes.ORB2, FeatureDetectorTypes.FAST):
+            self.extractor = ORB2Extractor(
+                num_features=config.num_features,
+                num_levels=config.num_levels,
+                scale_factor=config.scale_factor,
+            )
+            self.norm = NormType.HAMMING
+        elif config.detector_type == FeatureDetectorTypes.SUPERPOINT:
+            from pyslam_tpu.models.superpoint import SuperPointExtractor
+
+            self.extractor = SuperPointExtractor(num_features=config.num_features)
+            self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.XFEAT:
+            from pyslam_tpu.models.xfeat import XFeatExtractor
+
+            self.extractor = XFeatExtractor(num_features=config.num_features)
+            self.norm = NormType.L2
+        else:
+            raise ValueError(f"detector not supported: {config.detector_type}")
+
+        info = FEATURE_INFO.get(config.descriptor_type)
+        mtype = (
+            FeatureMatcherTypes.NN
+            if config.tracker_type == FeatureTrackerTypes.DES_NN
+            else FeatureMatcherTypes.BF
+        )
+        self.matcher = feature_matcher_factory(
+            norm=self.norm,
+            matcher_type=mtype,
+            max_distance=info.max_distance if info else None,
+            ratio_test=config.ratio_test,
+        )
+        self.scale_factors = self.extractor.scale_factors
+        self.sigma2 = self.extractor.sigma2
+        self.inv_sigma2 = 1.0 / self.sigma2
+
+    # extraction ----------------------------------------------------------
+    def detectAndCompute(self, img) -> FeatureData:
+        return self.extractor(img)
+
+    # matching ------------------------------------------------------------
+    def match(self, f1: FeatureData, f2: FeatureData, ratio=None):
+        """Match two FeatureData; returns (idx1, idx2) integer arrays."""
+        idx2, dist = self.matcher.match(
+            f1.desc, f2.desc, valid1=f1.valid, valid2=f2.valid, ratio=ratio
+        )
+        idx2 = np.asarray(idx2)
+        idx1 = np.nonzero(idx2 >= 0)[0]
+        return idx1, idx2[idx1]
+
+
+def feature_tracker_factory(config: FeatureTrackerConfig | str = "ORB2") -> FeatureTracker:
+    if isinstance(config, str):
+        config = FeatureTrackerConfigs.get(config)
+    return FeatureTracker(config)

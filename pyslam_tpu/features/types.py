@@ -1,0 +1,49 @@
+"""Feature/descriptor type registry (reference: pySLAM
+``pyslam/local_features/feature_types.py:39-217``): enums of detector and
+descriptor types plus per-descriptor norm and match-acceptance distances."""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+
+class FeatureDetectorTypes(enum.Enum):
+    NONE = 0
+    ORB2 = 1          # our FAST+grid-NMS TPU pipeline (reference default)
+    FAST = 2
+    SHI_TOMASI = 3
+    SUPERPOINT = 4
+    XFEAT = 5
+    DISK = 6
+    ALIKED = 7
+
+
+class FeatureDescriptorTypes(enum.Enum):
+    NONE = 0
+    ORB2 = 1          # 256-bit steered BRIEF
+    SUPERPOINT = 2
+    XFEAT = 3
+    DISK = 4
+    ALIKED = 5
+
+
+class NormType(enum.Enum):
+    HAMMING = 0
+    L2 = 1
+    COSINE = 2
+
+
+@dataclass(frozen=True)
+class FeatureInfo:
+    norm: NormType
+    max_distance: float  # acceptance gate (reference FeatureInfo tables)
+
+
+FEATURE_INFO = {
+    FeatureDescriptorTypes.ORB2: FeatureInfo(NormType.HAMMING, 100.0),
+    FeatureDescriptorTypes.SUPERPOINT: FeatureInfo(NormType.L2, 2.878),
+    FeatureDescriptorTypes.XFEAT: FeatureInfo(NormType.L2, 1.2),
+    FeatureDescriptorTypes.DISK: FeatureInfo(NormType.L2, 2.0),
+    FeatureDescriptorTypes.ALIKED: FeatureInfo(NormType.L2, 1.2),
+}

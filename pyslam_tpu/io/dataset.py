@@ -354,7 +354,7 @@ class SyntheticDataset(DatasetBase):
         w_pts = self.world.points
         pc = (Tcw[:3, :3] @ w_pts.T).T + Tcw[:3, 3]
         z = pc[:, 2]
-        vis = z > 0.5
+        vis = z > 2.0  # near clip: a too-close blob would cover the frame
         u = self.fx * pc[:, 0] / np.where(vis, z, 1.0) + self.cx
         v = self.fy * pc[:, 1] / np.where(vis, z, 1.0) + self.cy
         img = np.full((self.h, self.w), 30.0, np.float32)
@@ -363,7 +363,7 @@ class SyntheticDataset(DatasetBase):
         for idx in order:
             if not vis[idx]:
                 continue
-            r = max(int(round(self.world.radii[idx] * self.fx / (z[idx] * 50.0) * 10)), 1)
+            r = int(np.clip(round(self.world.radii[idx] * self.fx / (z[idx] * 5.0)), 1, 14))
             x0, y0 = int(round(u[idx])), int(round(v[idx]))
             if x0 + r < 0 or x0 - r >= self.w or y0 + r < 0 or y0 - r >= self.h:
                 continue
