@@ -1,0 +1,243 @@
+"""SLAM-specific matching kernels: projection search, epipolar search, fusion.
+
+TPU-native replacement for the reference's geometry matchers (pySLAM
+``pyslam/slam/geometry_matchers.py:58-1286``: ``search_frame_by_projection``,
+``search_map_by_projection``, ``search_and_fuse``,
+``search_frame_for_triangulation`` and their C++ twins).  Where the reference
+walks kd-trees / per-point candidate lists in loops, here every search is ONE
+masked dense problem: project all M candidate map points, build the (M, N)
+descriptor-distance matrix on the MXU, AND-in the geometric gates (pixel
+radius scaled per predicted octave, scale-consistency range, viewing angle,
+octave agreement, epipolar distance), then do a masked one-to-one argmin.
+Padded static shapes; -1 marks no-match.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pyslam_tpu.ops import hamming, lie, matching
+
+
+@functools.partial(jax.jit, static_argnames=("check_orientation",))
+def search_by_projection(
+    # map-point side (M padded)
+    pts_w: jnp.ndarray,          # (M,3) world positions
+    pt_desc: jnp.ndarray,        # (M,256) int8 bits
+    pt_normal: jnp.ndarray,      # (M,3)
+    pt_min_dist: jnp.ndarray,    # (M,)
+    pt_max_dist: jnp.ndarray,    # (M,)
+    pt_valid: jnp.ndarray,       # (M,)
+    # frame side (N fixed)
+    kps: jnp.ndarray,            # (N,2) undistorted px
+    kp_level: jnp.ndarray,       # (N,)
+    kp_desc: jnp.ndarray,        # (N,256)
+    kp_valid: jnp.ndarray,       # (N,)
+    kp_ur: jnp.ndarray,          # (N,) right-u (for gating stereo radius) or -1
+    # geometry
+    Tcw: jnp.ndarray,            # (4,4)
+    K: jnp.ndarray,
+    image_bounds: jnp.ndarray,   # (4,) [u_min, u_max, v_min, v_max]
+    scale_factors: jnp.ndarray,  # (L,)
+    radius_px: float,
+    max_descriptor_distance: float,
+    view_cos_limit: float = 0.5,
+    ratio: float = 0.9,
+    check_orientation: bool = False,
+):
+    """Project map points into a frame and match to keypoints.
+
+    Returns (pt_match_kp: (M,) int32 kp index or -1,
+             kp_match_pt: (N,) int32 point row or -1,
+             pred_level: (M,) predicted octave).
+    Mirrors the gates of the reference's ``search_map_by_projection``
+    (``geometry_matchers.py:415``): positive depth, in-image, distance within
+    the point's scale-invariance range, viewing angle, octave within +-1 of
+    the distance-predicted octave, pixel radius scaled by predicted octave.
+    """
+    L = scale_factors.shape[0]
+    pc = lie.transform_points(Tcw, pts_w)
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K[0, 0] * pc[:, 0] / zs + K[0, 2]
+    v = K[1, 1] * pc[:, 1] / zs + K[1, 2]
+
+    Ow = -Tcw[:3, :3].T @ Tcw[:3, 3]
+    d = pts_w - Ow[None, :]
+    dist = jnp.linalg.norm(d, axis=1)
+    view_cos = jnp.sum(d * pt_normal, axis=1) / jnp.maximum(dist, 1e-9)
+
+    in_img = (
+        (u >= image_bounds[0]) & (u < image_bounds[1])
+        & (v >= image_bounds[2]) & (v < image_bounds[3])
+    )
+    in_range = (dist >= pt_min_dist * 0.8) & (dist <= pt_max_dist * 1.2)
+    pt_ok = pt_valid & (z > 0) & in_img & in_range & (view_cos > view_cos_limit)
+
+    # predicted octave from distance (reference predict_detection_level)
+    log_scale = jnp.log(scale_factors[1] / scale_factors[0])
+    ratio_d = jnp.maximum(pt_max_dist / jnp.maximum(dist, 1e-9), 1e-9)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(ratio_d) / log_scale).astype(jnp.int32), 0, L - 1
+    )
+    radius = radius_px * scale_factors[pred_level]          # (M,)
+
+    # pair gates
+    du = jnp.abs(kps[None, :, 0] - u[:, None])              # (M,N)
+    dv = jnp.abs(kps[None, :, 1] - v[:, None])
+    in_window = (du < radius[:, None]) & (dv < radius[:, None])
+    level_ok = (kp_level[None, :] >= pred_level[:, None] - 1) & (
+        kp_level[None, :] <= pred_level[:, None] + 1
+    )
+    pair_ok = in_window & level_ok & pt_ok[:, None] & kp_valid[None, :]
+
+    dmat = hamming.hamming_distance_matrix(pt_desc, kp_desc).astype(jnp.float32)
+    idx, dists = matching.match_ratio_test(
+        dmat,
+        max_descriptor_distance,
+        ratio=ratio,
+        valid_a=pt_ok,
+        valid_b=kp_valid,
+        cross_check=True,
+        extra_mask=pair_ok,
+    )
+    # invert: per-kp matched point row
+    M = pts_w.shape[0]
+    N = kps.shape[0]
+    kp_match = jnp.full((N,), -1, jnp.int32)
+    rows = jnp.arange(M, dtype=jnp.int32)
+    kp_match = kp_match.at[jnp.where(idx >= 0, idx, N)].set(
+        jnp.where(idx >= 0, rows, -1), mode="drop"
+    )
+    return idx, kp_match, pred_level
+
+
+@jax.jit
+def epipolar_triangulation_match(
+    kps1: jnp.ndarray,       # (N1,2) undistorted px
+    level1: jnp.ndarray,
+    desc1: jnp.ndarray,
+    free1: jnp.ndarray,      # (N1,) valid & no map point
+    kps2: jnp.ndarray,
+    level2: jnp.ndarray,
+    desc2: jnp.ndarray,
+    free2: jnp.ndarray,
+    F12: jnp.ndarray,        # fundamental matrix: x2^T F12 x1 = 0 (pixels)
+    epipole2: jnp.ndarray,   # (2,) epipole of cam1 center in image 2
+    sigma2_levels: jnp.ndarray,  # (L,) per-level variance
+    max_descriptor_distance: float,
+    ratio: float = 0.8,
+):
+    """Descriptor matching restricted to the epipolar constraint, for new
+    map-point triangulation (reference ``search_frame_for_triangulation``,
+    ``geometry_matchers.py:1112``): pairs must satisfy the point-to-epipolar-
+    line distance chi2 gate in image 2 and keep away from the epipole.
+
+    Returns (idx2 per kp1 or -1, distances).
+    """
+    ones = jnp.ones_like(kps1[:, :1])
+    p1 = jnp.concatenate([kps1, ones], axis=1)            # (N1,3)
+    lines2 = p1 @ F12.T                                    # (N1,3) epilines in img2
+    a, b, c = lines2[:, 0:1], lines2[:, 1:2], lines2[:, 2:3]
+    num = a * kps2[None, :, 0] + b * kps2[None, :, 1] + c  # (N1,N2)
+    den = a * a + b * b
+    dsq = num * num / jnp.maximum(den, 1e-12)              # squared px distance
+    # chi2 gate at 95% for 1 dof scaled by level-2 sigma2 (3.84 * sigma2)
+    gate = 3.84 * sigma2_levels[level2][None, :]
+    epi_ok = dsq < gate
+
+    # epipole proximity gate in image 2 (reference uses 100*scale^2 px^2)
+    de = jnp.sum((kps2 - epipole2[None, :]) ** 2, axis=1)
+    scale22 = sigma2_levels[level2]
+    far_from_epipole = de > 100.0 * scale22
+    pair_ok = epi_ok & free1[:, None] & (free2 & far_from_epipole)[None, :]
+
+    dmat = hamming.hamming_distance_matrix(desc1, desc2).astype(jnp.float32)
+    idx2, dists = matching.match_ratio_test(
+        dmat,
+        max_descriptor_distance,
+        ratio=ratio,
+        valid_a=free1,
+        valid_b=free2,
+        cross_check=True,
+        extra_mask=pair_ok,
+    )
+    return idx2, dists
+
+
+@jax.jit
+def fuse_candidates(
+    pts_w: jnp.ndarray,
+    pt_desc: jnp.ndarray,
+    pt_normal: jnp.ndarray,
+    pt_min_dist: jnp.ndarray,
+    pt_max_dist: jnp.ndarray,
+    pt_valid: jnp.ndarray,
+    kps: jnp.ndarray,
+    kp_level: jnp.ndarray,
+    kp_desc: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    kp_ur: jnp.ndarray,
+    Tcw: jnp.ndarray,
+    K: jnp.ndarray,
+    bf: jnp.ndarray,
+    image_bounds: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    sigma2_levels: jnp.ndarray,
+    max_descriptor_distance: float,
+):
+    """search_and_fuse device part (reference ``geometry_matchers.py:662``):
+    for each candidate map point find the best in-window keypoint whose
+    reprojection chi2 passes; host then merges/adds observations.
+
+    Returns (best_kp: (M,) int32 or -1, best_dist: (M,)).
+    """
+    L = scale_factors.shape[0]
+    pc = lie.transform_points(Tcw, pts_w)
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K[0, 0] * pc[:, 0] / zs + K[0, 2]
+    v = K[1, 1] * pc[:, 1] / zs + K[1, 2]
+    ur = u - bf / zs
+
+    Ow = -Tcw[:3, :3].T @ Tcw[:3, 3]
+    d = pts_w - Ow[None, :]
+    dist = jnp.linalg.norm(d, axis=1)
+    view_cos = jnp.sum(d * pt_normal, axis=1) / jnp.maximum(dist, 1e-9)
+    in_img = (
+        (u >= image_bounds[0]) & (u < image_bounds[1])
+        & (v >= image_bounds[2]) & (v < image_bounds[3])
+    )
+    in_range = (dist >= pt_min_dist * 0.8) & (dist <= pt_max_dist * 1.2)
+    pt_ok = pt_valid & (z > 0) & in_img & in_range & (view_cos > 0.5)
+
+    log_scale = jnp.log(scale_factors[1] / scale_factors[0])
+    ratio_d = jnp.maximum(pt_max_dist / jnp.maximum(dist, 1e-9), 1e-9)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(ratio_d) / log_scale).astype(jnp.int32), 0, L - 1
+    )
+    radius = 3.0 * scale_factors[pred_level]
+
+    du = kps[None, :, 0] - u[:, None]
+    dv = kps[None, :, 1] - v[:, None]
+    in_window = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
+    level_ok = (kp_level[None, :] >= pred_level[:, None] - 1) & (
+        kp_level[None, :] <= pred_level[:, None] + 1
+    )
+    # reprojection chi2 gate (mono 5.99, stereo 7.8 with ur residual)
+    e2_mono = (du * du + dv * dv) / sigma2_levels[kp_level][None, :]
+    dur = kp_ur[None, :] - ur[:, None]
+    e2_stereo = (du * du + dv * dv + dur * dur) / sigma2_levels[kp_level][None, :]
+    is_stereo = (kp_ur >= 0)[None, :]
+    chi_ok = jnp.where(is_stereo, e2_stereo <= 7.815, e2_mono <= 5.991)
+
+    pair_ok = in_window & level_ok & chi_ok & pt_ok[:, None] & kp_valid[None, :]
+    dmat = hamming.hamming_distance_matrix(pt_desc, kp_desc).astype(jnp.float32)
+    dmat = jnp.where(pair_ok, dmat, matching.INF)
+    best_kp = jnp.argmin(dmat, axis=1).astype(jnp.int32)
+    best_dist = jnp.take_along_axis(dmat, best_kp[:, None].astype(jnp.int64), axis=1)[:, 0]
+    ok = best_dist <= max_descriptor_distance
+    return jnp.where(ok, best_kp, -1), best_dist

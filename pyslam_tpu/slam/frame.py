@@ -1,0 +1,225 @@
+"""Frame and KeyFrame: per-image SoA containers.
+
+Design departure from the reference (pySLAM ``pyslam/slam/frame.py:98-561``,
+``keyframe.py``): where pySLAM builds per-keypoint Python object graphs
+(``Frame.points[]`` lists of MapPoint objects), here a frame is a bundle of
+fixed-shape numpy/JAX arrays — keypoints, descriptors (unpacked bit-planes),
+stereo coords, and an int array ``points`` mapping each keypoint slot to a
+global map-point id (-1 = unassigned).  All hot work (stereo matching, RGBD
+virtual-stereo, projection matching) happens on-device via the jitted ops.
+
+KeyFrame extends Frame with covisibility bookkeeping (host dicts — graph
+mutation is host work; only the numeric payloads go to device).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.features.orb2 import FeatureData
+from pyslam_tpu.ops import matching
+from pyslam_tpu.slam.camera import PinholeCamera
+
+
+class Frame:
+    _id_counter = 0
+
+    def __init__(
+        self,
+        camera: PinholeCamera,
+        img=None,
+        img_right=None,
+        depth=None,
+        timestamp: float = 0.0,
+        feature_tracker=None,
+        frame_id: int | None = None,
+        features: FeatureData | None = None,
+    ):
+        if frame_id is None:
+            self.id = Frame._id_counter
+            Frame._id_counter += 1
+        else:
+            self.id = frame_id
+        self.camera = camera
+        self.timestamp = timestamp
+        self.Tcw = np.eye(4)  # world -> camera
+
+        self.is_keyframe = False
+        self.feature_tracker = feature_tracker
+
+        if features is None and img is not None and feature_tracker is not None:
+            features = feature_tracker.detectAndCompute(img)
+
+        if features is not None:
+            # undistort once at construction (reference frame.py:534-537)
+            xy = np.asarray(features.xy, np.float32)
+            if camera.is_distorted:
+                xy = np.asarray(camera.undistort_points(xy), np.float32)
+            self.kps = xy                                      # undistorted px
+            self.kps_raw = np.asarray(features.xy, np.float32)  # distorted px
+            self.levels = np.asarray(features.level, np.int32)
+            self.angles = np.asarray(features.angle, np.float32)
+            self.sizes = np.asarray(features.size, np.float32)
+            self.des = np.asarray(features.desc, np.int8)
+            self.valid = np.asarray(features.valid, bool)
+        else:
+            n = Parameters.kNumFeatures
+            self.kps = np.zeros((n, 2), np.float32)
+            self.kps_raw = np.zeros((n, 2), np.float32)
+            self.levels = np.zeros((n,), np.int32)
+            self.angles = np.zeros((n,), np.float32)
+            self.sizes = np.zeros((n,), np.float32)
+            self.des = np.zeros((n, 256), np.int8)
+            self.valid = np.zeros((n,), bool)
+
+        n = len(self.kps)
+        self.num_kps = n
+        # map-point assignment & outliers
+        self.points = np.full((n,), -1, np.int64)
+        self.outliers = np.zeros((n,), bool)
+        # stereo
+        self.kps_ur = np.full((n,), -1.0, np.float32)  # right-image u (-1 = mono)
+        self.depths = np.full((n,), -1.0, np.float32)
+
+        if img_right is not None and feature_tracker is not None:
+            self.compute_stereo_matches(img_right)
+        elif depth is not None:
+            self.compute_stereo_from_rgbd(depth)
+
+    # ---------------------------------------------------------------- pose
+    @property
+    def Twc(self) -> np.ndarray:
+        return np.linalg.inv(self.Tcw)
+
+    @property
+    def Rcw(self):
+        return self.Tcw[:3, :3]
+
+    @property
+    def tcw(self):
+        return self.Tcw[:3, 3]
+
+    @property
+    def Ow(self) -> np.ndarray:
+        """Camera center in world coords."""
+        return -self.Tcw[:3, :3].T @ self.Tcw[:3, 3]
+
+    def update_pose(self, Tcw):
+        self.Tcw = np.asarray(Tcw, np.float64).reshape(4, 4)
+
+    # -------------------------------------------------------------- stereo
+    def compute_stereo_matches(self, img_right):
+        """Row-constrained stereo matching (reference ``frame.py:1122``):
+        extract right-image features, match along scanlines with descriptor +
+        disparity gates, store per-left-kp right-u and depth."""
+        fr = self.feature_tracker.detectAndCompute(img_right)
+        cam = self.camera
+        des_r = fr.desc
+        xy_r = np.asarray(fr.xy, np.float32)
+        d = self.feature_tracker.matcher.distance_matrix(
+            jnp.asarray(self.des), des_r
+        )
+        disp = self.kps[:, 0:1] - xy_r[None, :, 0]
+        max_disp = cam.bf / max(Parameters.kMinDepth, 1e-3) if cam.bf > 0 else 100.0
+        idx, dist = matching.row_stereo_match(
+            d,
+            jnp.asarray(self.kps[:, 1]),
+            jnp.asarray(xy_r[:, 1]),
+            jnp.asarray(disp),
+            max_distance=Parameters.kStereoMatchingMaxDescriptorDistance,
+            row_tol=Parameters.kStereoMatchingRowTolerance,
+            min_disp=0.1,
+            max_disp=max_disp,
+            valid_a=jnp.asarray(self.valid),
+            valid_b=fr.valid,
+        )
+        idx = np.asarray(idx)
+        ok = idx >= 0
+        ur = np.where(ok, xy_r[np.clip(idx, 0, None), 0], -1.0)
+        self.kps_ur = ur.astype(np.float32)
+        disp_sel = np.where(ok, self.kps[:, 0] - ur, -1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            depth = np.where(disp_sel > 0, cam.bf / np.maximum(disp_sel, 1e-6), -1.0)
+        self.depths = depth.astype(np.float32)
+
+    def compute_stereo_from_rgbd(self, depth_img):
+        """RGBD -> virtual right coords (reference ``frame.py:1098``)."""
+        cam = self.camera
+        h, w = depth_img.shape[:2]
+        xs = np.clip(np.round(self.kps_raw[:, 0]).astype(int), 0, w - 1)
+        ys = np.clip(np.round(self.kps_raw[:, 1]).astype(int), 0, h - 1)
+        z = np.asarray(depth_img)[ys, xs].astype(np.float32)
+        if cam.depth_factor != 1.0 and z.dtype != np.float32:
+            z = z / cam.depth_factor
+        ok = (z > Parameters.kMinDepth) & self.valid
+        self.depths = np.where(ok, z, -1.0).astype(np.float32)
+        if cam.bf > 0:
+            self.kps_ur = np.where(
+                ok, self.kps[:, 0] - cam.bf / np.maximum(z, 1e-6), -1.0
+            ).astype(np.float32)
+
+    # ------------------------------------------------------------- helpers
+    def unproject_keypoints(self, idxs=None) -> np.ndarray:
+        """Backproject keypoints with valid depth to world coords."""
+        if idxs is None:
+            idxs = np.nonzero(self.depths > 0)[0]
+        uv = self.kps[idxs]
+        z = self.depths[idxs]
+        pc = np.asarray(self.camera.backproject_points(uv, z))
+        Twc = self.Twc
+        return (Twc[:3, :3] @ pc.T).T + Twc[:3, 3], idxs
+
+    def sigma2_for(self, idxs) -> np.ndarray:
+        return self.feature_tracker.sigma2[self.levels[idxs]]
+
+    def num_tracked_points(self, min_obs: int = 1) -> int:
+        return int(((self.points >= 0) & ~self.outliers).sum())
+
+
+class KeyFrame(Frame):
+    """Frame + covisibility graph node (reference ``keyframe.py:46-633``)."""
+
+    _kid_counter = 0
+
+    def __init__(self, frame: Frame, kid: int | None = None):
+        # share arrays with the source frame (no copy)
+        self.__dict__.update(frame.__dict__)
+        if kid is None:
+            self.kid = KeyFrame._kid_counter
+            KeyFrame._kid_counter += 1
+        else:
+            self.kid = kid
+        self.is_keyframe = True
+        self.is_bad = False
+        # covisibility graph (host dicts)
+        self.connected_keyframes: dict[int, int] = {}  # kid -> weight
+        self.ordered_neighbors: list[int] = []
+        self.parent: int | None = None
+        self.children: set[int] = set()
+        self.loop_edges: set[int] = set()
+        self.not_to_erase = False
+        self.g_des = None  # global descriptor (loop closing)
+        self.lba_count = 0
+
+    def ordered_covisibles(self, n: int | None = None) -> list[int]:
+        if n is None:
+            return list(self.ordered_neighbors)
+        return self.ordered_neighbors[:n]
+
+    def add_connection(self, kid: int, weight: int):
+        self.connected_keyframes[kid] = weight
+        self._reorder()
+
+    def erase_connection(self, kid: int):
+        if kid in self.connected_keyframes:
+            del self.connected_keyframes[kid]
+            self._reorder()
+
+    def _reorder(self):
+        self.ordered_neighbors = [
+            k for k, _ in sorted(
+                self.connected_keyframes.items(), key=lambda kv: -kv[1]
+            )
+        ]

@@ -1,0 +1,445 @@
+"""Local mapping back-end (reference: pySLAM ``pyslam/slam/local_mapping.py``
++ ``local_mapping_core.py``).
+
+Per new keyframe: associate/refresh map points -> cull recent points ->
+triangulate new points against covisible neighbors (epipolar-gated dense
+matching on device) -> fuse duplicates -> local bundle adjustment (Schur LM
+over the covisibility window) -> cull redundant keyframes (90% rule).
+
+Runs synchronously on the host scheduler (the reference's thread+queue exists
+to dodge the GIL; with all numeric work dispatched to the TPU there is no GIL
+contention, and ``step()`` interleaves with tracking at keyframe granularity
+exactly like the reference's single-thread mode ``tracking.py:1411-1419``).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.io.dataset_types import SensorType
+from pyslam_tpu.ops import geometry, optim, slam_matching
+from pyslam_tpu.slam.frame import KeyFrame
+from pyslam_tpu.slam.map import Map
+from pyslam_tpu.utils.logging import Printer
+from pyslam_tpu.utils.padding import (
+    bucket_size,
+    bucket_size_linear,
+    pad_bucket,
+    pad_rows,
+)
+
+
+class LocalMapping:
+    def __init__(self, slam_map: Map, camera, sensor_type: SensorType,
+                 feature_tracker=None):
+        self.map = slam_map
+        self.camera = camera
+        self.sensor_type = sensor_type
+        self.tracker = feature_tracker
+        self.queue: deque[KeyFrame] = deque()
+        self.recent_pids: list[int] = []
+        self.kf_cur: KeyFrame | None = None
+        self.opt_abort_flag = False
+        self.time_lba = 0.0
+        self.loop_closing = None            # injected by Slam
+        self.volumetric_integrator = None   # injected by Slam
+        self.semantic_mapping = None        # injected by Slam
+
+    # --------------------------------------------------------------- queue
+    def push_keyframe(self, kf: KeyFrame):
+        self.queue.append(kf)
+
+    def is_idle(self) -> bool:
+        return len(self.queue) == 0
+
+    def queue_size(self) -> int:
+        return len(self.queue)
+
+    def step(self) -> bool:
+        """Process one queued keyframe; returns True if work was done."""
+        if not self.queue:
+            return False
+        kf = self.queue.popleft()
+        self.do_local_mapping(kf)
+        return True
+
+    def run_all(self):
+        while self.step():
+            pass
+
+    # ---------------------------------------------------------------- core
+    def do_local_mapping(self, kf: KeyFrame):
+        self.kf_cur = kf
+        self.process_new_keyframe(kf)
+        self.cull_map_points()
+        self.create_new_map_points(kf)
+        self.fuse_map_points(kf)
+        if self.map.num_keyframes() > 2:
+            self.local_bundle_adjustment(kf)
+        self.cull_keyframes(kf)
+        # hand the keyframe onward (reference local_mapping.py:488-513)
+        if self.loop_closing is not None:
+            self.loop_closing.add_keyframe(kf)
+        if self.semantic_mapping is not None:
+            self.semantic_mapping.add_keyframe(kf)
+        if self.volumetric_integrator is not None:
+            self.volumetric_integrator.add_keyframe(kf)
+
+    # ------------------------------------------------- process_new_keyframe
+    def process_new_keyframe(self, kf: KeyFrame):
+        """Associate tracked points, refresh normals/descriptors (reference
+        ``local_mapping_core.py:110``)."""
+        pids = kf.points[kf.points >= 0]
+        for pid, ki in zip(pids, np.nonzero(kf.points >= 0)[0]):
+            self.map.add_observation(int(pid), kf, int(ki))
+        self.map.update_point_descriptors_and_normals(np.unique(pids))
+        self.map.update_connections(kf)
+        # points created recently (for culling window)
+        fresh = pids[self.map.points.first_kid[pids] >= kf.kid - 2]
+        self.recent_pids = list(np.unique(np.concatenate([
+            np.asarray(self.recent_pids, np.int64), fresh
+        ])))
+
+    # ------------------------------------------------------ cull_map_points
+    def cull_map_points(self):
+        """Found-ratio + observation-count culling (reference
+        ``local_mapping_core.py:128``)."""
+        if not self.recent_pids or self.kf_cur is None:
+            return
+        st = self.map.points
+        keep = []
+        for pid in self.recent_pids:
+            if not st.valid[pid]:
+                continue
+            found_ratio = st.n_found[pid] / max(st.n_visible[pid], 1)
+            age = self.kf_cur.kid - st.first_kid[pid]
+            if found_ratio < Parameters.kMapPointCullingMinFoundRatio:
+                self.map.delete_point(pid)
+            elif age >= 2 and st.num_obs[pid] <= (
+                2 if self.sensor_type != SensorType.MONOCULAR else 2
+            ):
+                self.map.delete_point(pid)
+            elif age >= 3:
+                pass  # survived probation
+            else:
+                keep.append(pid)
+        self.recent_pids = keep
+
+    # ------------------------------------------------- create_new_map_points
+    def create_new_map_points(self, kf: KeyFrame):
+        """Epipolar search + triangulation with covisible neighbors
+        (reference ``local_mapping.py:560``)."""
+        n_neighbors = 10 if self.sensor_type == SensorType.MONOCULAR else 5
+        neighbor_kids = kf.ordered_covisibles(n_neighbors)
+        cam = self.camera
+        K = jnp.asarray(cam.K, jnp.float32)
+        sigma2 = jnp.asarray(self.tracker.sigma2)
+        total_new = 0
+        for kid2 in neighbor_kids:
+            kf2 = self.map.keyframes.get(kid2)
+            if kf2 is None or kf2.is_bad:
+                continue
+            # baseline check: skip if baseline too small vs scene depth
+            baseline = np.linalg.norm(kf2.Ow - kf.Ow)
+            if self.sensor_type == SensorType.MONOCULAR:
+                depths = kf2.depths[kf2.depths > 0]
+                pids2 = kf2.points[kf2.points >= 0]
+                if len(pids2) > 0:
+                    pc = (kf2.Tcw[:3, :3] @ self.map.points.pos[pids2].T).T + kf2.Tcw[:3, 3]
+                    med_depth = np.median(pc[:, 2]) if len(pc) else 1.0
+                else:
+                    med_depth = 1.0
+                if baseline / max(med_depth, 1e-6) < Parameters.kMinRatioBaselineDepth:
+                    continue
+            elif baseline < cam.b:
+                continue
+
+            T12 = kf.Tcw @ np.linalg.inv(kf2.Tcw)  # maps cam2 -> cam1
+            # F21 such that x2^T F x1 = 0 with T_21 = cam1->cam2
+            T21 = kf2.Tcw @ np.linalg.inv(kf.Tcw)
+            F = np.asarray(geometry.skew_matmul_F(jnp.asarray(T21, jnp.float32), K, K))
+            # epipole of kf's center in kf2 image
+            c1_in_2 = kf2.Tcw[:3, :3] @ kf.Ow + kf2.Tcw[:3, 3]
+            if abs(c1_in_2[2]) < 1e-6:
+                epi = np.array([1e6, 1e6], np.float32)
+            else:
+                epi = np.array(
+                    [
+                        cam.fx * c1_in_2[0] / c1_in_2[2] + cam.cx,
+                        cam.fy * c1_in_2[1] / c1_in_2[2] + cam.cy,
+                    ],
+                    np.float32,
+                )
+
+            free1 = (kf.points < 0) & kf.valid & ~kf.outliers
+            free2 = (kf2.points < 0) & kf2.valid & ~kf2.outliers
+            idx2, _ = slam_matching.epipolar_triangulation_match(
+                jnp.asarray(kf.kps), jnp.asarray(kf.levels), jnp.asarray(kf.des),
+                jnp.asarray(free1),
+                jnp.asarray(kf2.kps), jnp.asarray(kf2.levels), jnp.asarray(kf2.des),
+                jnp.asarray(free2),
+                jnp.asarray(F, jnp.float32), jnp.asarray(epi),
+                sigma2,
+                float(Parameters.kMaxDescriptorDistance),
+            )
+            idx2 = np.asarray(idx2)
+            i1 = np.nonzero(idx2 >= 0)[0]
+            if len(i1) == 0:
+                continue
+            i2 = idx2[i1]
+
+            # triangulate in normalized coords
+            xy1 = np.asarray(cam.unproject_points(kf.kps[i1]))
+            xy2 = np.asarray(cam.unproject_points(kf2.kps[i2]))
+            pts = np.asarray(
+                geometry.triangulate_dlt(
+                    jnp.asarray(kf.Tcw, jnp.float64), jnp.asarray(kf2.Tcw, jnp.float64),
+                    jnp.asarray(xy1, jnp.float64), jnp.asarray(xy2, jnp.float64),
+                )
+            )
+            sig1 = self.tracker.sigma2[kf.levels[i1]] / cam.fx**2
+            sig2 = self.tracker.sigma2[kf2.levels[i2]] / cam.fx**2
+            ok = np.array(
+                geometry.triangulation_checks(
+                    jnp.asarray(pts), jnp.asarray(kf.Tcw), jnp.asarray(kf2.Tcw),
+                    jnp.asarray(xy1), jnp.asarray(xy2),
+                    jnp.asarray(sig1), jnp.asarray(sig2),
+                    cos_max_parallax=Parameters.kCosMaxParallax,
+                )
+            )
+            # scale-consistency check between the two observations
+            d1 = np.linalg.norm(pts - kf.Ow, axis=1)
+            d2 = np.linalg.norm(pts - kf2.Ow, axis=1)
+            sf = self.tracker.scale_factors
+            ratio_dist = d2 / np.maximum(d1, 1e-9)
+            ratio_octave = sf[kf.levels[i1]] / sf[kf2.levels[i2]]
+            rf = Parameters.kScaleConsistencyFactor
+            ok &= (ratio_dist < ratio_octave * rf) & (ratio_dist * rf > ratio_octave)
+
+            sel = np.nonzero(ok)[0]
+            if len(sel) == 0:
+                continue
+            pids = self.map.add_points_for_keyframe(
+                kf, i1[sel], pts[sel], kf2=kf2, kp_idxs2=i2[sel]
+            )
+            self.map.update_point_descriptors_and_normals(pids)
+            self.recent_pids.extend(int(p) for p in pids)
+            total_new += len(pids)
+        if total_new:
+            self.map.update_connections(kf)
+        return total_new
+
+    # --------------------------------------------------------- fuse (device)
+    def fuse_map_points(self, kf: KeyFrame):
+        """Project neighbors' points into kf and vice versa; merge duplicates
+        (reference ``geometry_matchers.search_and_fuse:662``)."""
+        neighbor_kids = kf.ordered_covisibles(10)
+        if not neighbor_kids:
+            return
+        st = self.map.points
+
+        def fuse_into(target_kf: KeyFrame, cand_pids: np.ndarray):
+            if len(cand_pids) == 0:
+                return
+            pos_p, valid_p = pad_bucket(st.pos[cand_pids])
+            m = len(valid_p)
+            best_kp, _ = slam_matching.fuse_candidates(
+                jnp.asarray(pos_p, jnp.float32),
+                jnp.asarray(pad_rows(st.desc[cand_pids], m)),
+                jnp.asarray(pad_rows(st.normal[cand_pids], m)),
+                jnp.asarray(pad_rows(st.min_dist[cand_pids], m)),
+                jnp.asarray(pad_rows(st.max_dist[cand_pids], m, fill=1.0)),
+                jnp.asarray(valid_p),
+                jnp.asarray(target_kf.kps), jnp.asarray(target_kf.levels),
+                jnp.asarray(target_kf.des), jnp.asarray(target_kf.valid),
+                jnp.asarray(target_kf.kps_ur),
+                jnp.asarray(target_kf.Tcw, jnp.float32),
+                jnp.asarray(self.camera.K, jnp.float32),
+                jnp.asarray(self.camera.bf, jnp.float32),
+                jnp.asarray(
+                    [self.camera.u_min, self.camera.u_max,
+                     self.camera.v_min, self.camera.v_max], jnp.float32
+                ),
+                jnp.asarray(self.tracker.scale_factors),
+                jnp.asarray(self.tracker.sigma2),
+                float(Parameters.kMaxDescriptorDistance) * 0.5,
+            )
+            best_kp = np.asarray(best_kp)[: len(cand_pids)]
+            for row, kp_idx in enumerate(best_kp):
+                if kp_idx < 0:
+                    continue
+                pid = int(cand_pids[row])
+                if not st.valid[pid]:
+                    continue
+                existing = int(target_kf.points[kp_idx])
+                if existing >= 0 and st.valid[existing]:
+                    if existing == pid:
+                        continue
+                    # keep the point with more observations
+                    if st.num_obs[existing] >= st.num_obs[pid]:
+                        self.map.replace_point(pid, existing)
+                    else:
+                        self.map.replace_point(existing, pid)
+                else:
+                    self.map.add_observation(pid, target_kf, int(kp_idx))
+
+        # neighbors' points into kf
+        neigh_pids = self.map.get_local_map_points(neighbor_kids)
+        own = set(int(p) for p in kf.points[kf.points >= 0])
+        cand = np.asarray([p for p in neigh_pids if p not in own], np.int64)
+        fuse_into(kf, cand)
+        # kf's points into each neighbor
+        kf_pids = kf.points[kf.points >= 0]
+        for kid2 in neighbor_kids:
+            kf2 = self.map.keyframes.get(kid2)
+            if kf2 is None:
+                continue
+            own2 = set(int(p) for p in kf2.points[kf2.points >= 0])
+            cand2 = np.asarray(
+                [int(p) for p in kf_pids if int(p) not in own2 and st.valid[int(p)]],
+                np.int64,
+            )
+            fuse_into(kf2, cand2)
+        self.map.update_point_descriptors_and_normals(
+            np.unique(kf.points[kf.points >= 0])
+        )
+        self.map.update_connections(kf)
+
+    # ------------------------------------------------------------ local BA
+    def local_bundle_adjustment(self, kf: KeyFrame):
+        """Covisibility-window Schur LM (reference ``optimizer_g2o.py:614``)."""
+        window_kids = [kf.kid] + kf.ordered_covisibles(
+            Parameters.kLocalBAWindowSize
+        )
+        window_kids = [k for k in window_kids if k in self.map.keyframes]
+        local_pids = self.map.get_local_map_points(window_kids)
+        if len(local_pids) < 10:
+            return
+        # fixed set: keyframes outside the window observing local points
+        window = set(window_kids)
+        fixed_kids = set()
+        for pid in local_pids:
+            for kid in self.map.observations.get(int(pid), {}):
+                if kid not in window and kid in self.map.keyframes:
+                    fixed_kids.add(kid)
+        all_kids = window_kids + sorted(fixed_kids)
+        # always fix the first keyframe of the map (gauge)
+        kid_to_row = {kid: i for i, kid in enumerate(all_kids)}
+        pid_to_row = {int(p): i for i, p in enumerate(local_pids)}
+
+        cam_idx, pt_idx, uvs, urs, sig2 = [], [], [], [], []
+        for pid in local_pids:
+            for kid, kp_idx in self.map.observations.get(int(pid), {}).items():
+                kf_o = self.map.keyframes.get(kid)
+                if kf_o is None or kid not in kid_to_row:
+                    continue
+                cam_idx.append(kid_to_row[kid])
+                pt_idx.append(pid_to_row[int(pid)])
+                uvs.append(kf_o.kps[kp_idx])
+                urs.append(kf_o.kps_ur[kp_idx])
+                sig2.append(self.tracker.sigma2[kf_o.levels[kp_idx]])
+        if len(cam_idx) < 20:
+            return
+
+        st = self.map.points
+        poses = np.stack([self.map.keyframes[k].Tcw for k in all_kids])
+        points = st.pos[local_pids]
+        fixed = np.zeros(len(all_kids), bool)
+        for kid in fixed_kids:
+            fixed[kid_to_row[kid]] = True
+        first_kid = self.map.keyframe_order[0]
+        if first_kid in kid_to_row:
+            fixed[kid_to_row[first_kid]] = True
+        if not fixed.any():
+            fixed[0] = True
+
+        # bucket every dimension: cameras (mult of 8, padded fixed-identity),
+        # points (pow2), observations (pow2, padded invalid)
+        C = bucket_size_linear(len(all_kids), 8)
+        P = bucket_size(len(local_pids), 256)
+        O = bucket_size(len(cam_idx), 1024)
+        poses = pad_rows(poses, C)
+        poses[len(all_kids):] = np.eye(4)
+        fixed = pad_rows(fixed, C, fill=True)
+        points = pad_rows(points, P)
+        obs_valid = np.zeros(O, bool)
+        obs_valid[: len(cam_idx)] = True
+
+        problem = optim.BAProblem(
+            poses=jnp.asarray(poses, jnp.float32),
+            points=jnp.asarray(points, jnp.float32),
+            cam_idx=jnp.asarray(pad_rows(np.asarray(cam_idx, np.int32), O), jnp.int32),
+            pt_idx=jnp.asarray(pad_rows(np.asarray(pt_idx, np.int32), O), jnp.int32),
+            uv=jnp.asarray(pad_rows(np.stack(uvs), O), jnp.float32),
+            ur=jnp.asarray(pad_rows(np.asarray(urs, np.float32), O, fill=-1.0), jnp.float32),
+            sigma2=jnp.asarray(pad_rows(np.asarray(sig2, np.float32), O, fill=1.0), jnp.float32),
+            valid=jnp.asarray(obs_valid),
+            fixed=jnp.asarray(fixed),
+            K=jnp.asarray(self.camera.K, jnp.float32),
+            bf=jnp.asarray(self.camera.bf, jnp.float32),
+        )
+        new_poses, new_points, cost = optim.bundle_adjust(
+            problem, iters=Parameters.kOptimizerLBAIterations
+        )
+        new_poses = np.asarray(new_poses, np.float64)
+        new_points = np.asarray(new_points, np.float64)
+
+        # outlier observation pruning (post-BA chi2, reference removes edges)
+        inlier_mask = np.asarray(optim.ba_outlier_mask(
+            problem._replace(poses=jnp.asarray(new_poses, jnp.float32),
+                             points=jnp.asarray(new_points, jnp.float32))
+        ))[: len(cam_idx)]
+        for o in np.nonzero(~inlier_mask)[0]:
+            pid = int(local_pids[pt_idx[o]])
+            kid = all_kids[cam_idx[o]]
+            self.map.remove_observation(pid, kid)
+
+        for kid, row in kid_to_row.items():
+            if not fixed[row]:
+                self.map.keyframes[kid].update_pose(new_poses[row])
+                self.map.keyframes[kid].lba_count += 1
+        st.pos[local_pids] = new_points[: len(local_pids)]
+
+    # --------------------------------------------------------- cull keyframes
+    def cull_keyframes(self, kf: KeyFrame):
+        """90%-redundancy rule (reference ``local_mapping_core.py:173``)."""
+        sf = self.tracker.scale_factors
+        for kid in kf.ordered_covisibles():
+            kf_o = self.map.keyframes.get(kid)
+            if kf_o is None or kid == self.map.keyframe_order[0]:
+                continue
+            pids = kf_o.points[kf_o.points >= 0]
+            if len(pids) == 0:
+                continue
+            n_redundant = 0
+            n_points = 0
+            for kp_idx, pid in zip(np.nonzero(kf_o.points >= 0)[0], pids):
+                pid = int(pid)
+                if not self.map.points.valid[pid]:
+                    continue
+                obs = self.map.observations.get(pid, {})
+                n_points += 1
+                if len(obs) <= Parameters.kKeyframeCullingMinNumPoints:
+                    continue
+                level = kf_o.levels[kp_idx]
+                n_better = 0
+                for okid, okp in obs.items():
+                    if okid == kid:
+                        continue
+                    okf = self.map.keyframes.get(okid)
+                    if okf is None:
+                        continue
+                    if okf.levels[okp] <= level + 1:
+                        n_better += 1
+                        if n_better >= Parameters.kKeyframeCullingMinNumPoints:
+                            break
+                if n_better >= Parameters.kKeyframeCullingMinNumPoints:
+                    n_redundant += 1
+            if n_points > 0 and n_redundant > (
+                Parameters.kKeyframeCullingRedundantObsRatio * n_points
+            ):
+                self.map.remove_keyframe(kf_o)

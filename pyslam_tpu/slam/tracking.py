@@ -1,0 +1,461 @@
+"""Tracking front-end: the per-frame state machine.
+
+Reference: pySLAM ``pyslam/slam/tracking.py:1082-1449`` (``Tracking.track``)
+and its helpers ``track_previous_frame`` (:351), ``track_reference_frame``
+(:480), ``track_local_map`` (:670), ``need_new_keyframe`` (:761).  The state
+machine (NO_IMAGES_YET -> NOT_INITIALIZED -> OK/LOST/RELOCALIZE) stays host
+Python; every numeric stage — projection search, descriptor matching,
+motion-only pose LM — is a jitted batched op from ``pyslam_tpu.ops``.
+
+Per frame, OK path:
+  1. motion-model pose prediction
+  2. search_frame_by_projection against the previous frame's tracked points
+     (fallback: full descriptor match against the reference keyframe)
+  3. pose_optimization #1 (4x10 LM with outlier reclassification)
+  4. track_local_map: project the covisibility-local map, match, pose opt #2
+  5. keyframe decision + creation (stereo/RGBD: spawn close points)
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.io.dataset_types import SensorType
+from pyslam_tpu.ops import optim, slam_matching
+from pyslam_tpu.slam.frame import Frame, KeyFrame
+from pyslam_tpu.slam.initializer import Initializer
+from pyslam_tpu.slam.map import Map
+from pyslam_tpu.slam.motion_model import MotionModel
+from pyslam_tpu.utils.logging import Printer
+from pyslam_tpu.utils.padding import pad_bucket, pad_rows, bucket_size
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+    RELOCALIZE = 4
+    INIT_RELOCALIZE = 5
+
+
+class TrackingHistory:
+    """Relative-pose history for final trajectory reconstruction (reference
+    ``tracking.py:130`` TrackingHistory)."""
+
+    def __init__(self):
+        self.timestamps: list[float] = []
+        self.relative_poses: list[np.ndarray] = []  # Tcr: frame rel. to ref KF
+        self.ref_kids: list[int] = []
+        self.states: list[TrackingState] = []
+
+    def add(self, timestamp, Tcw, ref_kf: KeyFrame, state):
+        Tcr = np.asarray(Tcw) @ ref_kf.Twc
+        self.timestamps.append(timestamp)
+        self.relative_poses.append(Tcr)
+        self.ref_kids.append(ref_kf.kid)
+        self.states.append(state)
+
+    def final_trajectory(self, slam_map: Map):
+        """Recompose absolute poses using (possibly loop-corrected) KF poses."""
+        out_t, out_Twc = [], []
+        for ts, Tcr, kid, st in zip(
+            self.timestamps, self.relative_poses, self.ref_kids, self.states
+        ):
+            kf = slam_map.keyframes.get(kid)
+            if kf is None or st not in (TrackingState.OK,):
+                continue
+            Tcw = Tcr @ kf.Tcw
+            out_t.append(ts)
+            out_Twc.append(np.linalg.inv(Tcw))
+        return np.asarray(out_t), np.asarray(out_Twc)
+
+
+class Tracking:
+    def __init__(
+        self,
+        camera,
+        feature_tracker,
+        slam_map: Map,
+        sensor_type: SensorType = SensorType.MONOCULAR,
+        local_mapping=None,
+    ):
+        self.camera = camera
+        self.tracker = feature_tracker
+        self.map = slam_map
+        self.sensor_type = sensor_type
+        self.local_mapping = local_mapping
+        self.state = TrackingState.NO_IMAGES_YET
+        self.initializer = Initializer(sensor_type, feature_tracker.num_features)
+        self.motion_model = MotionModel()
+        self.history = TrackingHistory()
+
+        self.f_prev: Frame | None = None
+        self.kf_ref: KeyFrame | None = None
+        self.num_matched_kps = 0
+        self.num_inliers = 0
+        self.num_lost_frames = 0
+        self.last_kf_frame_id = -1
+        self.relocalizer = None  # injected by Slam when loop detection is on
+        self.reset_requested = False
+
+        self._ib = np.array(
+            [camera.u_min, camera.u_max, camera.v_min, camera.v_max], np.float32
+        )
+
+    # ------------------------------------------------------------ utilities
+    def _pose_optimize(self, frame: Frame, pids: np.ndarray, kp_idxs: np.ndarray):
+        """Motion-only LM on frame's current assignment; updates outliers."""
+        st = self.map.points
+        # bucket-pad the observation set: one jit specialization per
+        # power-of-two size instead of one per frame
+        pts3d, valid = pad_bucket(st.pos[pids])
+        m = len(valid)
+        uv = pad_rows(frame.kps[kp_idxs], m)
+        ur = pad_rows(frame.kps_ur[kp_idxs], m, fill=-1.0)
+        sigma2 = pad_rows(frame.sigma2_for(kp_idxs), m, fill=1.0)
+        T_opt, inliers, n_inl = optim.pose_optimization(
+            jnp.asarray(frame.Tcw, jnp.float32),
+            jnp.asarray(pts3d, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(ur, jnp.float32),
+            jnp.asarray(sigma2, jnp.float32),
+            jnp.asarray(valid),
+            jnp.asarray(self.camera.K, jnp.float32),
+            bf=self.camera.bf,
+        )
+        inliers = np.asarray(inliers)[: len(pids)]
+        n_inl = int(inliers.sum())
+        frame.update_pose(np.asarray(T_opt))
+        frame.outliers[kp_idxs] = ~inliers
+        # drop outlier assignments (reference clears f.points on outliers)
+        bad = kp_idxs[~inliers]
+        frame.points[bad] = -1
+        return int(n_inl)
+
+    def _assigned(self, frame: Frame):
+        kp_idxs = np.nonzero(frame.points >= 0)[0]
+        return frame.points[kp_idxs], kp_idxs
+
+    # ------------------------------------------------ track vs previous frame
+    def track_previous_frame(self, f_prev: Frame, f_cur: Frame) -> int:
+        """Project prev-frame points into cur with widening radius (reference
+        ``tracking.py:351-476``)."""
+        pids_prev, kp_prev = self._assigned(f_prev)
+        if len(pids_prev) == 0:
+            return 0
+        pids_prev = self.map.resolve_replacements(pids_prev)
+        alive = (pids_prev >= 0) & self.map.points.valid[np.clip(pids_prev, 0, None)]
+        pids_prev = pids_prev[alive]
+        if len(pids_prev) == 0:
+            return 0
+        st = self.map.points
+        pos_p, valid_p = pad_bucket(st.pos[pids_prev])
+        m = len(valid_p)
+
+        for radius in (
+            Parameters.kMaxReprojectionDistanceFrame,
+            Parameters.kMaxReprojectionDistanceFrameWide,
+        ):
+            idx_pt, kp_match, _ = slam_matching.search_by_projection(
+                jnp.asarray(pos_p, jnp.float32),
+                jnp.asarray(pad_rows(st.desc[pids_prev], m)),
+                jnp.asarray(pad_rows(st.normal[pids_prev], m)),
+                jnp.asarray(pad_rows(st.min_dist[pids_prev], m)),
+                jnp.asarray(pad_rows(st.max_dist[pids_prev], m, fill=1.0)),
+                jnp.asarray(valid_p),
+                jnp.asarray(f_cur.kps), jnp.asarray(f_cur.levels),
+                jnp.asarray(f_cur.des), jnp.asarray(f_cur.valid),
+                jnp.asarray(f_cur.kps_ur),
+                jnp.asarray(f_cur.Tcw, jnp.float32),
+                jnp.asarray(self.camera.K, jnp.float32),
+                jnp.asarray(self._ib),
+                jnp.asarray(self.tracker.scale_factors),
+                float(radius),
+                float(Parameters.kMaxOrbDistanceSearchByReproj),
+                ratio=0.9,
+            )
+            kp_match = np.asarray(kp_match)
+            matched_kps = np.nonzero((kp_match >= 0) & (kp_match < len(pids_prev)))[0]
+            if len(matched_kps) >= Parameters.kMinNumMatchedFeaturesSearchFrameByProjection:
+                break
+
+        f_cur.points[:] = -1
+        f_cur.points[matched_kps] = pids_prev[kp_match[matched_kps]]
+        return len(matched_kps)
+
+    # ---------------------------------------------- track vs reference keyframe
+    def track_reference_frame(self, kf: KeyFrame, f_cur: Frame) -> int:
+        """Full descriptor match + map-point propagation (reference
+        ``tracking.py:480-643``)."""
+        from pyslam_tpu.ops import hamming, matching as m_ops
+
+        d = hamming.hamming_distance_matrix(
+            jnp.asarray(kf.des), jnp.asarray(f_cur.des)
+        ).astype(jnp.float32)
+        kf_has_point = jnp.asarray((kf.points >= 0) & kf.valid)
+        idx2, _ = m_ops.match_ratio_test(
+            d, Parameters.kMaxDescriptorDistance, ratio=0.7,
+            valid_a=kf_has_point, valid_b=jnp.asarray(f_cur.valid),
+        )
+        idx2 = np.asarray(idx2)
+        i_kf = np.nonzero(idx2 >= 0)[0]
+        i_cur = idx2[i_kf]
+        if Parameters.kCheckOrientation and len(i_kf) > 0:
+            from pyslam_tpu.ops import matching as mm
+
+            keep = np.asarray(
+                mm.rotation_histogram_filter(
+                    jnp.asarray(kf.angles[i_kf]),
+                    jnp.asarray(f_cur.angles[i_cur]),
+                    jnp.ones((len(i_kf),), bool),
+                )
+            )
+            i_kf, i_cur = i_kf[keep], i_cur[keep]
+        pids = self.map.resolve_replacements(kf.points[i_kf])
+        alive = (pids >= 0) & self.map.points.valid[np.clip(pids, 0, None)]
+        f_cur.points[:] = -1
+        f_cur.points[i_cur[alive]] = pids[alive]
+        f_cur.update_pose(self.f_prev.Tcw if self.f_prev is not None else kf.Tcw)
+        return int(alive.sum())
+
+    # --------------------------------------------------------- track local map
+    def track_local_map(self, f_cur: Frame) -> int:
+        if self.kf_ref is None:
+            return 0
+        kids = self.map.get_local_keyframes(self.kf_ref)
+        local_pids = self.map.get_local_map_points(kids)
+        if len(local_pids) == 0:
+            return 0
+        st = self.map.points
+        # count visible stats
+        st.n_visible[local_pids] += 1
+
+        pos_p, valid_p = pad_bucket(st.pos[local_pids])
+        m = len(valid_p)
+        idx_pt, kp_match, _ = slam_matching.search_by_projection(
+            jnp.asarray(pos_p, jnp.float32),
+            jnp.asarray(pad_rows(st.desc[local_pids], m)),
+            jnp.asarray(pad_rows(st.normal[local_pids], m)),
+            jnp.asarray(pad_rows(st.min_dist[local_pids], m)),
+            jnp.asarray(pad_rows(st.max_dist[local_pids], m, fill=1.0)),
+            jnp.asarray(valid_p),
+            jnp.asarray(f_cur.kps), jnp.asarray(f_cur.levels),
+            jnp.asarray(f_cur.des), jnp.asarray(f_cur.valid),
+            jnp.asarray(f_cur.kps_ur),
+            jnp.asarray(f_cur.Tcw, jnp.float32),
+            jnp.asarray(self.camera.K, jnp.float32),
+            jnp.asarray(self._ib),
+            jnp.asarray(self.tracker.scale_factors),
+            float(Parameters.kMaxReprojectionDistanceMap),
+            float(Parameters.kMaxOrbDistanceSearchByReproj),
+            ratio=Parameters.kMatchRatioTestMap,
+        )
+        kp_match = np.asarray(kp_match)
+        in_range = (kp_match >= 0) & (kp_match < len(local_pids))
+        new_kps = np.nonzero(in_range & (f_cur.points < 0))[0]
+        f_cur.points[new_kps] = local_pids[kp_match[new_kps]]
+
+        pids, kp_idxs = self._assigned(f_cur)
+        if len(pids) < Parameters.kMinTrackedFeaturesForPoseOpt:
+            return 0
+        n_inl = self._pose_optimize(f_cur, pids, kp_idxs)
+        # found statistics
+        good_pids, _ = self._assigned(f_cur)
+        st.n_found[good_pids] += 1
+        return n_inl
+
+    # ----------------------------------------------------- keyframe decision
+    def need_new_keyframe(self, f_cur: Frame) -> bool:
+        """ORB-SLAM-style conditions (reference ``tracking.py:761-916``)."""
+        if self.kf_ref is None:
+            return False
+        num_kfs = self.map.num_keyframes()
+        frames_since_kf = f_cur.id - self.last_kf_frame_id
+
+        # reference-KF tracked count with >=min_obs observations
+        min_obs = 3 if num_kfs > 2 else 2
+        ref_pids = self.kf_ref.points[self.kf_ref.points >= 0]
+        ref_matches = int(
+            (self.map.points.num_obs[ref_pids] >= min_obs).sum()
+        ) if len(ref_pids) else 0
+
+        is_stereo = self.sensor_type in (SensorType.STEREO, SensorType.RGBD)
+        # close-point bookkeeping (stereo/RGBD); the reference's absolute
+        # thresholds (100 tracked / 70 non-tracked, tuned for 2000 features)
+        # scale with the configured feature budget
+        feat_scale = self.tracker.num_features / 2000.0
+        n_tracked_close = 0
+        n_nontracked_close = 0
+        if is_stereo:
+            close = (f_cur.depths > 0) & (
+                f_cur.depths < self.camera.depth_threshold
+            )
+            tracked = (f_cur.points >= 0) & ~f_cur.outliers
+            n_tracked_close = int((close & tracked).sum())
+            n_nontracked_close = int((close & ~tracked).sum())
+        need_close = is_stereo and (
+            n_tracked_close < Parameters.kNumMinClosePointsForNewKf * feat_scale
+            and n_nontracked_close > 70 * feat_scale
+        )
+
+        th_ratio = (
+            Parameters.kThNewKfRefRatioStereo if is_stereo else Parameters.kThNewKfRefRatio
+        )
+        if num_kfs < 3:
+            th_ratio = 0.4
+
+        cond1a = frames_since_kf >= Parameters.kNumMaxFramesBetweenKfs
+        cond1b = (
+            frames_since_kf >= Parameters.kNumMinFramesBetweenKfs
+            and self._local_mapping_idle()
+        )
+        cond1c = is_stereo and (
+            self.num_inliers < ref_matches * 0.25 or need_close
+        )
+        cond2 = (
+            self.num_inliers < ref_matches * th_ratio or need_close
+        ) and self.num_inliers > Parameters.kNumMinPointsForNewKf
+
+        return (cond1a or cond1b or cond1c) and cond2
+
+    def _local_mapping_idle(self) -> bool:
+        return self.local_mapping is None or self.local_mapping.is_idle()
+
+    def create_new_keyframe(self, f_cur: Frame) -> KeyFrame:
+        kf = KeyFrame(f_cur)
+        # register current observations
+        pids, kp_idxs = self._assigned(f_cur)
+        self.map.add_keyframe(kf)
+        for pid, ki in zip(pids, kp_idxs):
+            self.map.add_observation(int(pid), kf, int(ki))
+        # stereo/RGBD: create close map points not yet tracked (reference
+        # tracking.py:918+ create_new_keyframe + stereo point creation)
+        if self.sensor_type in (SensorType.STEREO, SensorType.RGBD):
+            close = (
+                (f_cur.depths > 0)
+                & (f_cur.depths < self.camera.depth_threshold * 2.0)
+                & (kf.points < 0)
+                & kf.valid
+            )
+            idxs = np.nonzero(close)[0]
+            if len(idxs) > 0:
+                # sort by depth, cap at 100 beyond-threshold like ORB-SLAM
+                order = np.argsort(f_cur.depths[idxs])
+                idxs = idxs[order]
+                pts_w, _ = kf.unproject_keypoints(idxs)
+                self.map.add_points_for_keyframe(kf, idxs, pts_w)
+        self.map.update_connections(kf)
+        self.kf_ref = kf
+        self.last_kf_frame_id = f_cur.id
+        if self.local_mapping is not None:
+            self.local_mapping.push_keyframe(kf)
+        return kf
+
+    # ----------------------------------------------------------------- track
+    def track(self, img, img_right=None, depth=None, frame_id=0, timestamp=0.0) -> Frame:
+        f_cur = Frame(
+            self.camera, img, img_right=img_right, depth=depth,
+            timestamp=timestamp, feature_tracker=self.tracker, frame_id=frame_id,
+        )
+
+        if self.state == TrackingState.NO_IMAGES_YET:
+            self.state = TrackingState.NOT_INITIALIZED
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            out = self.initializer.initialize(f_cur, self.map, self.tracker)
+            if out.success:
+                self.state = TrackingState.OK
+                self.kf_ref = out.kf_cur
+                self.f_prev = f_cur
+                self.last_kf_frame_id = f_cur.id
+                self.motion_model.update(f_cur.Tcw, timestamp)
+                self.history.add(timestamp, f_cur.Tcw, self.kf_ref, TrackingState.OK)
+                if self.local_mapping is not None:
+                    self.local_mapping.push_keyframe(out.kf_cur)
+            return f_cur
+
+        if self.state in (TrackingState.OK, TrackingState.LOST,
+                          TrackingState.RELOCALIZE, TrackingState.INIT_RELOCALIZE):
+            if self.state == TrackingState.OK:
+                # 1. predict pose
+                if Parameters.kUseMotionModel and self.motion_model.is_ok:
+                    f_cur.update_pose(self.motion_model.predict(self.f_prev.Tcw))
+                else:
+                    f_cur.update_pose(self.f_prev.Tcw)
+
+                # 2. frame-to-frame tracking
+                n_matched = 0
+                if Parameters.kUseSearchFrameByProjection and self.motion_model.is_ok:
+                    n_matched = self.track_previous_frame(self.f_prev, f_cur)
+                if n_matched < Parameters.kMinNumMatchedFeaturesSearchFrameByProjection:
+                    n_matched = self.track_reference_frame(self.kf_ref, f_cur)
+                self.num_matched_kps = n_matched
+
+                # 3. pose optimization #1
+                pids, kp_idxs = self._assigned(f_cur)
+                if len(pids) >= Parameters.kMinTrackedFeaturesForPoseOpt:
+                    self.num_inliers = self._pose_optimize(f_cur, pids, kp_idxs)
+                else:
+                    self.num_inliers = 0
+
+                if self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
+                    Printer.red(f"tracking failure on frame {frame_id} "
+                                f"(inliers={self.num_inliers})")
+                    self.state = TrackingState.LOST
+
+            if self.state in (TrackingState.LOST, TrackingState.RELOCALIZE,
+                              TrackingState.INIT_RELOCALIZE):
+                ok = self._relocalize(f_cur)
+                if ok:
+                    Printer.green(f"relocalized at frame {frame_id}")
+                    self.state = TrackingState.OK
+                    self.motion_model.reset()
+                else:
+                    self.num_lost_frames += 1
+                    # auto-reset when lost early in a young map (reference
+                    # tracking.py:1424-1435)
+                    if (
+                        self.num_lost_frames > Parameters.kMaxLostFramesBeforeReset
+                        and self.map.num_keyframes() <= 5
+                        and self.state != TrackingState.INIT_RELOCALIZE
+                    ):
+                        Printer.yellow("tracking lost early: requesting reset")
+                        self.reset_requested = True
+                    self.f_prev = f_cur
+                    return f_cur
+
+            # 4. track local map + pose optimization #2
+            n_inl = self.track_local_map(f_cur)
+            if n_inl >= Parameters.kNumMinInliersTrackLocalMap or (
+                self.sensor_type == SensorType.MONOCULAR
+                and n_inl >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
+            ):
+                self.num_inliers = n_inl
+                self.state = TrackingState.OK
+            elif self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
+                self.state = TrackingState.LOST
+
+            if self.state == TrackingState.OK:
+                self.motion_model.update(f_cur.Tcw, timestamp)
+                # 5. keyframe decision
+                if self.need_new_keyframe(f_cur):
+                    self.create_new_keyframe(f_cur)
+                self.history.add(timestamp, f_cur.Tcw, self.kf_ref, TrackingState.OK)
+                self.num_lost_frames = 0
+
+        self.f_prev = f_cur
+        return f_cur
+
+    # ------------------------------------------------------------ relocalize
+    def _relocalize(self, f_cur: Frame) -> bool:
+        if self.relocalizer is None:
+            return False
+        T, ok = self.relocalizer.relocalize(f_cur, self.map)
+        if ok:
+            f_cur.update_pose(T)
+        return ok

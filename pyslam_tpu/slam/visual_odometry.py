@@ -20,6 +20,7 @@ from pyslam_tpu.features.tracker import FeatureTracker
 from pyslam_tpu.io.ground_truth import GroundTruth
 from pyslam_tpu.ops import epipolar
 from pyslam_tpu.slam.camera import PinholeCamera
+from pyslam_tpu.utils.padding import pad_bucket, pad_rows
 
 
 class VoState(enum.Enum):
@@ -72,10 +73,14 @@ class VisualOdometry:
         if self.num_matches >= self.min_matches:
             uv1 = np.asarray(self.prev_feats.xy)[i1]
             uv2 = np.asarray(feats.xy)[i2]
-            xy1 = np.asarray(self.camera.unproject_points(self.camera.undistort_points(uv1)))
-            xy2 = np.asarray(self.camera.unproject_points(self.camera.undistort_points(uv2)))
-            n = len(i1)
-            valid = jnp.ones((n,), bool)
+            xy1, pvalid = pad_bucket(
+                np.asarray(self.camera.unproject_points(self.camera.undistort_points(uv1)))
+            )
+            xy2 = pad_rows(
+                np.asarray(self.camera.unproject_points(self.camera.undistort_points(uv2))),
+                len(pvalid),
+            )
+            valid = jnp.asarray(pvalid)
             E, mask, n_inl = epipolar.find_essential(
                 self._next_key(), jnp.asarray(xy1), jnp.asarray(xy2), valid,
                 self.threshold2, self.num_hyp,
