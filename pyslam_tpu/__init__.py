@@ -17,4 +17,20 @@ reference at /root/reference) for TPU hardware:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: SLAM graphs are large (full frontend ~1e5
+# HLO ops) and TPU compiles are expensive — cache them across processes.
+try:  # pragma: no cover - depends on environment
+    _cache_dir = _os.environ.get(
+        "PYSLAM_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/pyslam_tpu_xla")
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 from pyslam_tpu.config_parameters import Parameters  # noqa: F401

@@ -172,52 +172,55 @@ def pose_optimization(
     """
     bf = jnp.asarray(bf, dtype=Tcw.dtype)
     delta2 = jnp.where(ur >= 0.0, CHI2_STEREO, CHI2_MONO)
+    n = pts3d.shape[0]
 
-    def lm_round(T0, inliers, use_robust):
-        def residuals(T):
-            r, Jc, _, behind, is_st = _res_jac_batch(
-                jnp.broadcast_to(T, (pts3d.shape[0], 4, 4)), pts3d, uv, ur, K, bf
-            )
-            w, chi2, loss = _robust_weights(r, sigma2, is_st, use_robust)
-            active = inliers & ~behind
-            w = jnp.where(active, w, 0.0)
-            return r, Jc, w, loss, active
+    # One flat lax loop of rounds*iters steps keeps the XLA graph small (the
+    # unrolled-round variant quadrupled compile time of the fused frontend).
+    # Inlier reclassification (non-robust chi2 gate) runs at round boundaries.
 
-        def cost_of(T):
-            r, _, w, loss, active = residuals(T)
-            return jnp.sum(jnp.where(active, loss, 0.0))
-
-        def body(_, carry):
-            T, lam, cost = carry
-            r, Jc, w, _, _ = residuals(T)
-            Jw = Jc * w[:, None, None]
-            H = jnp.einsum("nij,nik->jk", Jw, Jc)
-            g = jnp.einsum("nij,ni->j", Jw, r)
-            D = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-6))
-            dx = -jnp.linalg.solve(H + lam * D, g)
-            T_new = lie.se3_exp(dx) @ T
-            new_cost = cost_of(T_new)
-            accept = new_cost < cost
-            T = jnp.where(accept, T_new, T)
-            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
-            cost = jnp.where(accept, new_cost, cost)
-            return T, lam, cost
-
-        T, _, _ = jax.lax.fori_loop(
-            0, iters_per_round, body, (T0, jnp.asarray(1e-4, T0.dtype), cost_of(T0))
+    def residuals(T, inliers, use_robust=True):
+        r, Jc, _, behind, is_st = _res_jac_batch(
+            jnp.broadcast_to(T, (n, 4, 4)), pts3d, uv, ur, K, bf
         )
-        # reclassify with non-robust chi2
-        r, _, _, behind, is_st = _res_jac_batch(
-            jnp.broadcast_to(T, (pts3d.shape[0], 4, 4)), pts3d, uv, ur, K, bf
-        )
-        _, chi2, _ = _robust_weights(r, sigma2, is_st, use_robust=False)
-        inliers_new = valid & ~behind & (chi2 <= delta2)
-        return T, inliers_new
+        w, chi2, loss = _robust_weights(r, sigma2, is_st, use_robust)
+        active = inliers & ~behind
+        w = jnp.where(active, w, 0.0)
+        return r, Jc, w, chi2, loss, active, behind
 
-    inliers = valid
-    T = Tcw
-    for rd in range(rounds):
-        T, inliers = lm_round(T, inliers, use_robust=(rd < rounds - 1))
+    def cost_of(T, inliers):
+        _, _, _, _, loss, active, _ = residuals(T, inliers)
+        return jnp.sum(jnp.where(active, loss, 0.0))
+
+    def body(i, carry):
+        T, lam, cost, inliers = carry
+        r, Jc, w, _, _, _, _ = residuals(T, inliers)
+        Jw = Jc * w[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, Jc)
+        g = jnp.einsum("nij,ni->j", Jw, r)
+        D = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-6))
+        dx = -jnp.linalg.solve(H + lam * D, g)
+        T_new = lie.se3_exp(dx) @ T
+        new_cost = cost_of(T_new, inliers)
+        accept = new_cost < cost
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(accept, new_cost, cost)
+
+        # round boundary: reclassify all observations with the raw chi2 gate
+        def reclassify(args):
+            T, cost, inliers = args
+            _, _, _, chi2, _, _, behind = residuals(T, valid, use_robust=False)
+            inl = valid & ~behind & (chi2 <= delta2)
+            return T, cost_of(T, inl), inl
+
+        at_boundary = (i + 1) % iters_per_round == 0
+        T, cost, inliers = jax.lax.cond(
+            at_boundary, reclassify, lambda a: a, (T, cost, inliers)
+        )
+        return T, lam, cost, inliers
+
+    init = (Tcw, jnp.asarray(1e-4, Tcw.dtype), cost_of(Tcw, valid), valid)
+    T, _, _, inliers = jax.lax.fori_loop(0, rounds * iters_per_round, body, init)
     return T, inliers, jnp.sum(inliers)
 
 
