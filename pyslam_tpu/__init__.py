@@ -24,12 +24,15 @@ import jax as _jax
 # Persistent XLA compilation cache: SLAM graphs are large (full frontend ~1e5
 # HLO ops) and TPU compiles are expensive — cache them across processes.
 try:  # pragma: no cover - depends on environment
-    _cache_dir = _os.environ.get(
-        "PYSLAM_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/pyslam_tpu_xla")
-    )
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # TPU only: CPU executables cached from the remote-compile service carry
+    # foreign machine features (SIGILL risk on load) — tests run cache-free.
+    if "cpu" not in _os.environ.get("JAX_PLATFORMS", "tpu").lower():
+        _cache_dir = _os.environ.get(
+            "PYSLAM_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/pyslam_tpu_xla")
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:
     pass
 

@@ -89,8 +89,10 @@ def _extract_jit(
         xy, resp, valid = nms.grid_topk_keypoints(
             score, cell=cell, per_cell=per_cell, max_out=quota
         )
-        angles = orb.keypoint_angles(lv_img, xy)
         blurred = image_ops.gaussian_blur(lv_img, sigma=2.0, radius=3)
+        # orientation from the blurred image: raw-image moments are noisy and
+        # orientation noise rotates descriptors apart
+        angles = orb.keypoint_angles(blurred, xy)
         desc = orb.brief_descriptors(blurred, xy, angles)
 
         s = scale ** lv

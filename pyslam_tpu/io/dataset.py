@@ -267,17 +267,50 @@ class SyntheticWorld:
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
-        # points spread through a corridor volume along +z
-        self.points = np.stack(
+        # Surface-dominated world: a box room (4 walls + floor + ceiling at
+        # +-extent) textured with blobs, plus a sparse interior set for
+        # close-range stereo parallax.  A purely volumetric cloud has severe
+        # occlusion churn — every small viewpoint change flips z-buffer
+        # winners, which destroys feature matchability across >2-3 frames
+        # (measured 450 points -> 18 matches at 7 frames apart).
+        e = self.extent
+        h = e * 0.15
+        n_wall = int(self.n_points * 0.8)
+        n_int = self.n_points - n_wall
+        u = rng.uniform(-e, e, (n_wall, 1))
+        v = rng.uniform(-h, h, (n_wall, 1))
+        face = rng.integers(0, 6, n_wall)
+        pts = np.zeros((n_wall, 3))
+        # walls: x=+-e, z=+-e + floor/ceiling y=+-h (z offset so trajectories
+        # centered near z in [0, 2e*0.4] stay inside)
+        zc = e * 0.4
+        for i in range(n_wall):
+            if face[i] == 0:
+                pts[i] = [e, v[i, 0], u[i, 0] + zc]
+            elif face[i] == 1:
+                pts[i] = [-e, v[i, 0], u[i, 0] + zc]
+            elif face[i] == 2:
+                pts[i] = [u[i, 0], v[i, 0], e + zc]
+            elif face[i] == 3:
+                pts[i] = [u[i, 0], v[i, 0], -e + zc]
+            elif face[i] == 4:
+                pts[i] = [u[i, 0], h, rng.uniform(-e, e) + zc]
+            else:
+                pts[i] = [u[i, 0], -h, rng.uniform(-e, e) + zc]
+        interior = np.stack(
             [
-                rng.uniform(-self.extent, self.extent, self.n_points),
-                rng.uniform(-self.extent * 0.3, self.extent * 0.3, self.n_points),
-                rng.uniform(-self.extent, self.extent, self.n_points),
+                rng.uniform(-e * 0.8, e * 0.8, n_int),
+                rng.uniform(-h, h, n_int),
+                rng.uniform(-e * 0.8, e * 0.8, n_int) + zc,
             ],
             axis=1,
         )
+        self.points = np.concatenate([pts, interior], axis=0)
         self.intensities = rng.uniform(80, 255, self.n_points).astype(np.float32)
         self.radii = rng.uniform(1.5, 4.0, self.n_points).astype(np.float32)
+        # per-blob intensity gradient: uniform-intensity blobs make every
+        # corner look identical and break ratio-test matching
+        self.gradients = rng.uniform(-6.0, 6.0, (self.n_points, 2)).astype(np.float32)
 
 
 class SyntheticDataset(DatasetBase):
@@ -300,6 +333,7 @@ class SyntheticDataset(DatasetBase):
         sensor_type=SensorType.STEREO,
         world: SyntheticWorld | None = None,
         step: float = 0.25,
+        period: int | None = None,
     ):
         self.sensor_type = sensor_type
         self.num_frames = num_frames
@@ -311,6 +345,9 @@ class SyntheticDataset(DatasetBase):
         self.world = world or SyntheticWorld()
         self.step = step
         self.trajectory = trajectory
+        # for "loop": revolution period in frames (default num_frames); with
+        # period < num_frames the tail frames exactly revisit the start poses
+        self.period = period or num_frames
         self.poses = self._make_trajectory()  # (T,4,4) Twc (camera->world)
 
     def _make_trajectory(self):
@@ -327,7 +364,7 @@ class SyntheticDataset(DatasetBase):
                 )
                 yaw = th * 0.3
             elif self.trajectory == "loop":
-                th = 2 * np.pi * i / self.num_frames
+                th = 2 * np.pi * i / self.period
                 radius = 12.0
                 t = np.array([radius * np.sin(th), 0.0, radius * (1 - np.cos(th))])
                 yaw = th
@@ -371,7 +408,12 @@ class SyntheticDataset(DatasetBase):
             ya, yb = max(y0 - r, 0), min(y0 + r + 1, self.h)
             patch_z = zbuf[ya:yb, xa:xb]
             mask = patch_z > z[idx]
-            img[ya:yb, xa:xb][mask] = self.world.intensities[idx]
+            gx, gy = self.world.gradients[idx]
+            yy, xx = np.mgrid[ya - y0 : yb - y0, xa - x0 : xb - x0]
+            vals = np.clip(
+                self.world.intensities[idx] + gx * xx + gy * yy, 40.0, 255.0
+            ).astype(np.float32)
+            img[ya:yb, xa:xb][mask] = vals[mask]
             patch_z[mask] = z[idx]
         return img, zbuf
 

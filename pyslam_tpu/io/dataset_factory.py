@@ -57,5 +57,6 @@ def dataset_factory(config) -> DatasetBase:
             w=d.get("w", 320),
             trajectory=d.get("trajectory", "arc"),
             sensor_type=sensor,
+            period=d.get("period"),
         )
     raise ValueError(f"dataset type not supported yet: {ds_type}")

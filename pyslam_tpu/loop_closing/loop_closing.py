@@ -1,0 +1,563 @@
+"""Loop closing orchestrator: detect -> consistency -> geometry -> correct.
+
+Reference: pySLAM ``pyslam/loop_closing/loop_closing.py`` — the
+LoopGroupConsistencyChecker (:107), LoopGeometryChecker (:195), LoopCorrector
+(:470) pipeline, here driven synchronously from the host scheduler (the
+reference's detector child process exists for CUDA model isolation; our
+detector is a couple of jitted matmuls).
+
+Geometry check: matched map points between the current and candidate keyframes
+(MXU Hamming on point descriptors) -> batched Sim3 RANSAC on the 3D-3D pairs
+-> Sim3 LM refinement with mutual reprojections -> acceptance at
+>= kLoopClosingMinNumMatchedMapPoints matches.
+Correction: Sim3 propagation to the current covisibility group, duplicate
+fusion, essential-graph PGO over Sim(3) (scale free for monocular), then GBA.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.io.dataset_types import SensorType
+from pyslam_tpu.loop_closing.keyframe_database import KeyFrameDatabase
+from pyslam_tpu.loop_closing.loop_detector_configs import (
+    LoopDetectorConfig,
+    LoopDetectorConfigs,
+    LoopDetectorVocabularyType,
+)
+from pyslam_tpu.loop_closing.relocalizer import Relocalizer
+from pyslam_tpu.loop_closing.vocabulary import BinaryVocabulary
+from pyslam_tpu.ops import hamming, lie, matching as m_ops, optim, procrustes
+from pyslam_tpu.slam.frame import KeyFrame
+from pyslam_tpu.slam.map import Map
+from pyslam_tpu.utils.logging import Printer
+from pyslam_tpu.utils.padding import pad_bucket, pad_rows
+
+
+class LoopDetector:
+    """Global-descriptor computation on device + database bookkeeping."""
+
+    def __init__(self, config: LoopDetectorConfig):
+        self.config = config
+        self.vocabulary = BinaryVocabulary(num_words=config.num_words)
+        self._trained = False
+        self._train_buffer: list[np.ndarray] = []
+
+    def describe_frame(self, frame):
+        desc = frame.des
+        valid = frame.valid
+        if (
+            self.config.vocabulary_type == LoopDetectorVocabularyType.SESSION_TRAINED
+            and not self._trained
+        ):
+            self._train_buffer.append(desc[valid][:: max(1, valid.sum() // 200)])
+            if sum(len(b) for b in self._train_buffer) > 4000:
+                self.vocabulary.train_kmeans(np.concatenate(self._train_buffer))
+                self._trained = True
+                self._train_buffer.clear()
+        words = self.vocabulary.words_for(desc, valid)
+        g_des = self.vocabulary.global_descriptor(words)
+        return words, g_des
+
+
+class LoopGroupConsistencyChecker:
+    """Covisibility-group consistency across detections (reference :107-195)."""
+
+    def __init__(self, min_consistency: int | None = None):
+        self.min_consistency = (
+            min_consistency or Parameters.kLoopClosingMinNumConsistentGroups
+        )
+        self.prev_groups: list[tuple[set, int]] = []
+
+    def check(self, candidates: list[int], group_of) -> list[int]:
+        """Returns candidates whose group has been consistent long enough."""
+        accepted = []
+        new_groups: list[tuple[set, int]] = []
+        for cand in candidates:
+            group = set(group_of(cand)) | {cand}
+            count = 0
+            for prev, c in self.prev_groups:
+                if group & prev:
+                    count = max(count, c + 1)
+            new_groups.append((group, count))
+            if count >= self.min_consistency - 1:
+                accepted.append(cand)
+        self.prev_groups = new_groups
+        return accepted
+
+    def reset(self):
+        self.prev_groups = []
+
+
+class LoopClosing:
+    def __init__(
+        self,
+        slam_map: Map,
+        camera,
+        feature_tracker,
+        detector_config: LoopDetectorConfig | str = "DBOW3",
+        sensor_type: SensorType = SensorType.MONOCULAR,
+    ):
+        if isinstance(detector_config, str):
+            detector_config = LoopDetectorConfigs.get(detector_config)
+        self.map = slam_map
+        self.camera = camera
+        self.tracker = feature_tracker
+        self.sensor_type = sensor_type
+        self.detector = LoopDetector(detector_config)
+        self.db = KeyFrameDatabase(detector_config.num_words)
+        self.consistency = LoopGroupConsistencyChecker()
+        self.relocalizer = Relocalizer(camera, self.db, self.detector)
+        self.queue: deque[KeyFrame] = deque()
+        self.last_loop_kf_id = -1
+        self.num_loops_closed = 0
+        self._key = jax.random.PRNGKey(11)
+
+    # ----------------------------------------------------------------- queue
+    def add_keyframe(self, kf: KeyFrame):
+        self.queue.append(kf)
+
+    def step(self) -> bool:
+        if not self.queue:
+            return False
+        kf = self.queue.popleft()
+        if kf.is_bad or kf.kid not in self.map.keyframes:
+            return True
+        self.process_keyframe(kf)
+        return True
+
+    # ------------------------------------------------------------- detection
+    def process_keyframe(self, kf: KeyFrame):
+        words, g_des = self.detector.describe_frame(kf)
+        kf.g_des = g_des
+
+        candidates: list[int] = []
+        if (
+            kf.kid - self.last_loop_kf_id
+            >= Parameters.kLoopDetectionMinFramesAfterLastDetection
+            and self.map.num_keyframes() > 10
+        ):
+            candidates = self.db.detect_loop_candidates(
+                kf.kid, words, g_des,
+                set(kf.connected_keyframes.keys()),
+                lambda kid: self._covisibles(kid),
+            )
+        # always register AFTER querying (avoid self-hit)
+        self.db.add(kf.kid, words, g_des)
+        self.detector.vocabulary.add_document(words)
+        if not candidates:
+            self.consistency.check([], self._covisibles)
+            return
+
+        consistent = self.consistency.check(candidates, self._covisibles)
+        for cand_kid in consistent:
+            cand = self.map.keyframes.get(cand_kid)
+            if cand is None or cand.is_bad:
+                continue
+            ok, S12, matches = self.geometry_check(kf, cand)
+            if ok:
+                Printer.green(
+                    f"LOOP: kf {kf.kid} <-> kf {cand_kid} "
+                    f"({matches} matched points)"
+                )
+                self.correct_loop(kf, cand, S12)
+                self.last_loop_kf_id = kf.kid
+                self.num_loops_closed += 1
+                self.consistency.reset()
+                break
+
+    def _covisibles(self, kid: int) -> list[int]:
+        kf = self.map.keyframes.get(kid)
+        return kf.ordered_covisibles(Parameters.kLoopClosingNumCovisiblesForCandidate) if kf else []
+
+    # -------------------------------------------------------- geometry check
+    def geometry_check(self, kf: KeyFrame, cand: KeyFrame):
+        """Sim3 RANSAC + refinement between the two keyframes' map points.
+
+        Returns (ok, S12 mapping cand-camera coords -> kf-camera coords,
+        num_matches)."""
+        st = self.map.points
+        cam = self.camera
+        slots1 = np.nonzero(kf.points >= 0)[0]
+        if len(slots1) < 20:
+            return False, None, 0
+        pids1 = self.map.resolve_replacements(kf.points[slots1])
+        a1 = (pids1 >= 0) & st.valid[np.clip(pids1, 0, None)]
+        slots1, pids1 = slots1[a1], pids1[a1]
+
+        # loop side: the candidate's whole covisibility-group point set.  Old
+        # keyframes retain few direct associations (the probation culling is
+        # aggressive by design), but their neighborhoods hold hundreds of
+        # surviving points; each is expressed in the candidate's camera frame
+        # and gated to its frustum (uv2 synthesized by projection — positions
+        # come from OTHER cameras, so the Sim3 is still over-constrained).
+        pids2 = self.map.get_local_map_points(
+            [cand.kid] + cand.ordered_covisibles(10)
+        )
+        if len(pids2) < 20:
+            return False, None, 0
+        p2_all = (cand.Tcw[:3, :3] @ st.pos[pids2].T).T + cand.Tcw[:3, 3]
+        z2 = p2_all[:, 2]
+        u2 = cam.fx * p2_all[:, 0] / np.maximum(z2, 1e-9) + cam.cx
+        v2 = cam.fy * p2_all[:, 1] / np.maximum(z2, 1e-9) + cam.cy
+        in_view = (
+            (z2 > 0.1) & (u2 >= cam.u_min) & (u2 < cam.u_max)
+            & (v2 >= cam.v_min) & (v2 < cam.v_max)
+        )
+        pids2 = pids2[in_view]
+        if len(pids2) < 20:
+            return False, None, 0
+
+        # descriptor matching between the two point sets
+        d = hamming.hamming_distance_matrix(
+            jnp.asarray(st.desc[pids1]), jnp.asarray(st.desc[pids2])
+        ).astype(jnp.float32)
+        idx, _ = m_ops.match_ratio_test(
+            d, Parameters.kMaxDescriptorDistance, ratio=0.9
+        )
+        idx = np.asarray(idx)
+        rows = np.nonzero(idx >= 0)[0]
+        if len(rows) < Parameters.kLoopClosingGeometryCheckerMinNumBoWMatches:
+            return False, None, 0
+
+        p1_w = st.pos[pids1[rows]]
+        # express in camera frames
+        p1_c = (kf.Tcw[:3, :3] @ p1_w.T).T + kf.Tcw[:3, 3]
+        p2_c = (cand.Tcw[:3, :3] @ st.pos[pids2[idx[rows]]].T).T + cand.Tcw[:3, 3]
+
+        uv1 = kf.kps[slots1[rows]]
+        zz = np.maximum(p2_c[:, 2], 1e-9)
+        uv2 = np.stack(
+            [cam.fx * p2_c[:, 0] / zz + cam.cx, cam.fy * p2_c[:, 1] / zz + cam.cy], 1
+        )
+        sig1 = self.tracker.sigma2[kf.levels[slots1[rows]]]
+        sig2 = np.ones(len(rows), np.float32)
+
+        p1_p, valid = pad_bucket(p1_c.astype(np.float32))
+        m = len(valid)
+        p2_p = pad_rows(p2_c.astype(np.float32), m)
+        self._key, k = jax.random.split(self._key)
+        fix_scale = self.sensor_type != SensorType.MONOCULAR
+        # reprojection-scored RANSAC (3D-3D scoring fails on far-point stereo
+        # depth noise; see ops.procrustes.sim3_ransac_reproj docstring)
+        S12, inl, n_inl = procrustes.sim3_ransac_reproj(
+            k,
+            jnp.asarray(p1_p), jnp.asarray(p2_p),
+            jnp.asarray(pad_rows(uv1.astype(np.float32), m)),
+            jnp.asarray(pad_rows(uv2.astype(np.float32), m)),
+            jnp.asarray(pad_rows(sig1.astype(np.float32), m, fill=1.0)),
+            jnp.asarray(pad_rows(sig2.astype(np.float32), m, fill=1.0)),
+            jnp.asarray(valid),
+            jnp.asarray(self.camera.K, jnp.float32),
+            jnp.asarray(self.camera.K, jnp.float32),
+            num_hyp=Parameters.kSim3SolverRansacIterations,
+            with_scale=not fix_scale,
+        )
+        if int(n_inl) < Parameters.kSim3SolverMinInliers:
+            return False, None, 0
+        S_opt, inl2, n_inl2 = optim.optimize_sim3(
+            jnp.asarray(np.asarray(S12), jnp.float32),
+            jnp.asarray(pad_rows(p1_c.astype(np.float32), m)),
+            jnp.asarray(pad_rows(p2_c.astype(np.float32), m)),
+            jnp.asarray(pad_rows(uv1.astype(np.float32), m)),
+            jnp.asarray(pad_rows(uv2.astype(np.float32), m)),
+            jnp.asarray(pad_rows(sig1.astype(np.float32), m, fill=1.0)),
+            jnp.asarray(pad_rows(sig2.astype(np.float32), m, fill=1.0)),
+            jnp.asarray(valid),
+            jnp.asarray(self.camera.K, jnp.float32),
+            jnp.asarray(self.camera.K, jnp.float32),
+            chi2_th=Parameters.kLoopClosingTh2,
+            fix_scale=fix_scale,
+        )
+        if int(n_inl2) < Parameters.kSim3SolverMinInliers:
+            return False, None, int(n_inl2)
+        S12_np = np.asarray(S_opt, np.float64)
+
+        # Sim3-guided enrichment (reference ``search_by_sim3``): project the
+        # loop side's local map through the estimated Sim3 into the current
+        # keyframe and pick up additional matches before final acceptance.
+        n_extra, S12_np = self._search_by_sim3(kf, cand, S12_np)
+        n_final = int(n_inl2) + n_extra
+        if n_final < Parameters.kLoopClosingMinNumMatchedMapPoints:
+            return False, None, n_final
+        return True, S12_np, n_final
+
+    def _search_by_sim3(self, kf: KeyFrame, cand: KeyFrame, S12: np.ndarray):
+        """Project loop-side local points through S12 into kf; count extra
+        descriptor-gated window matches (projection through a Sim3 matrix is
+        valid: u = fx x/z is invariant to the embedded scale)."""
+        from pyslam_tpu.ops import slam_matching
+
+        m = self.map
+        st = m.points
+        loop_pids = m.get_local_map_points([cand.kid] + cand.ordered_covisibles(10))
+        if len(loop_pids) == 0:
+            return 0, S12
+        own = set(int(p) for p in kf.points[kf.points >= 0])
+        loop_pids = np.asarray([p for p in loop_pids if int(p) not in own], np.int64)
+        if len(loop_pids) == 0:
+            return 0, S12
+        Scw = S12 @ self._se3_to_S(cand.Tcw)  # world -> (scaled) cam1 frame
+        s_scale, R, t = self._S_to_srt(Scw)
+        Ow = -R.T @ (t / s_scale)
+        d = st.pos[loop_pids] - Ow[None, :]
+        dist = np.linalg.norm(d, axis=1)
+        normals = (d / np.maximum(dist[:, None], 1e-9)).astype(np.float32)
+
+        pos_p, valid_p = pad_bucket(st.pos[loop_pids])
+        mm = len(valid_p)
+        _, kp_match, _ = slam_matching.search_by_projection(
+            jnp.asarray(pos_p, jnp.float32),
+            jnp.asarray(pad_rows(st.desc[loop_pids], mm)),
+            jnp.asarray(pad_rows(normals, mm)),
+            jnp.asarray(np.zeros(mm, np.float32)),
+            jnp.asarray(np.full(mm, 1e9, np.float32)),
+            jnp.asarray(valid_p),
+            jnp.asarray(kf.kps), jnp.asarray(kf.levels),
+            jnp.asarray(kf.des), jnp.asarray(kf.valid),
+            jnp.asarray(kf.kps_ur),
+            jnp.asarray(Scw, jnp.float32),
+            jnp.asarray(self.camera.K, jnp.float32),
+            jnp.asarray(
+                [self.camera.u_min, self.camera.u_max,
+                 self.camera.v_min, self.camera.v_max], np.float32
+            ),
+            jnp.asarray(self.tracker.scale_factors),
+            7.5,
+            float(Parameters.kMaxDescriptorDistance),
+        )
+        kp_match = np.asarray(kp_match)
+        n_extra = int(((kp_match >= 0) & (kp_match < len(loop_pids))).sum())
+        return n_extra, S12
+
+    # ------------------------------------------------------------ correction
+    def correct_loop(self, kf: KeyFrame, cand: KeyFrame, S12: np.ndarray):
+        """Propagate the Sim3 correction and optimize the essential graph."""
+        m = self.map
+        st = m.points
+
+        # corrected Sim3 of the current keyframe: Scw_cur = S12 * Scw_cand
+        S_cand = self._se3_to_S(cand.Tcw)
+        S_cur_corrected = S12 @ S_cand
+
+        # current covisibility group (+ itself)
+        group = [kf.kid] + [
+            k for k in kf.ordered_covisibles() if k in m.keyframes
+        ]
+        Twc_cur = kf.Twc
+
+        # snapshot old poses
+        S_old = {kid: self._se3_to_S(m.keyframes[kid].Tcw) for kid in m.keyframe_order}
+
+        corrected: dict[int, np.ndarray] = {}
+        for kid in group:
+            kf_i = m.keyframes[kid]
+            T_ic = kf_i.Tcw @ Twc_cur  # relative to current
+            corrected[kid] = self._se3_to_S(T_ic) @ S_cur_corrected
+
+        # correct the group's map points: p' = S_new^-1 (S_old p)
+        moved: set[int] = set()
+        for kid in group:
+            kf_i = m.keyframes[kid]
+            pids = kf_i.points[kf_i.points >= 0]
+            pids = pids[st.valid[pids]]
+            fresh = [int(p) for p in pids if int(p) not in moved]
+            if not fresh:
+                continue
+            moved.update(fresh)
+            fresh = np.asarray(fresh)
+            P = st.pos[fresh]
+            S_o = S_old[kid]
+            S_n = corrected[kid]
+            Pm = self._sim3_apply(np.linalg.inv(S_n) @ S_o, P)
+            st.pos[fresh] = Pm
+        # apply corrected poses (fold scale into translation: Tcw = [R t/s])
+        for kid in group:
+            s, R, t = self._S_to_srt(corrected[kid])
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = t / s
+            m.keyframes[kid].update_pose(T)
+
+        # loop edges
+        kf.loop_edges.add(cand.kid)
+        cand.loop_edges.add(kf.kid)
+
+        # fuse loop-side points into the corrected group
+        self._fuse_loop_points(kf, cand)
+
+        # essential-graph PGO
+        self._essential_graph_pgo(kf, cand, S_old, corrected)
+
+        # full GBA to polish (reference launches GBA after correction)
+        from pyslam_tpu.slam.global_bundle_adjustment import global_bundle_adjustment
+
+        global_bundle_adjustment(m, self.camera, self.tracker,
+                                 iters=Parameters.kOptimizerGBAIterations)
+
+    def _fuse_loop_points(self, kf: KeyFrame, cand: KeyFrame):
+        from pyslam_tpu.ops import slam_matching
+
+        m = self.map
+        st = m.points
+        loop_pids = m.get_local_map_points(
+            [cand.kid] + cand.ordered_covisibles(10)
+        )
+        if len(loop_pids) == 0:
+            return
+        for kid in [kf.kid] + kf.ordered_covisibles(10):
+            kf_i = m.keyframes.get(kid)
+            if kf_i is None:
+                continue
+            own = set(int(p) for p in kf_i.points[kf_i.points >= 0])
+            cand_pids = np.asarray(
+                [p for p in loop_pids if int(p) not in own and st.valid[int(p)]],
+                np.int64,
+            )
+            if len(cand_pids) == 0:
+                continue
+            pos_p, valid_p = pad_bucket(st.pos[cand_pids])
+            mm = len(valid_p)
+            best_kp, _ = slam_matching.fuse_candidates(
+                jnp.asarray(pos_p, jnp.float32),
+                jnp.asarray(pad_rows(st.desc[cand_pids], mm)),
+                jnp.asarray(pad_rows(st.normal[cand_pids], mm)),
+                jnp.asarray(pad_rows(st.min_dist[cand_pids], mm)),
+                jnp.asarray(pad_rows(st.max_dist[cand_pids], mm, fill=1.0)),
+                jnp.asarray(valid_p),
+                jnp.asarray(kf_i.kps), jnp.asarray(kf_i.levels),
+                jnp.asarray(kf_i.des), jnp.asarray(kf_i.valid),
+                jnp.asarray(kf_i.kps_ur),
+                jnp.asarray(kf_i.Tcw, jnp.float32),
+                jnp.asarray(self.camera.K, jnp.float32),
+                jnp.asarray(self.camera.bf, jnp.float32),
+                jnp.asarray(
+                    [self.camera.u_min, self.camera.u_max,
+                     self.camera.v_min, self.camera.v_max], np.float32
+                ),
+                jnp.asarray(self.tracker.scale_factors),
+                jnp.asarray(self.tracker.sigma2),
+                float(Parameters.kMaxDescriptorDistance) * 0.5,
+            )
+            best_kp = np.asarray(best_kp)[: len(cand_pids)]
+            for row, kp_idx in enumerate(best_kp):
+                if kp_idx < 0:
+                    continue
+                pid = int(cand_pids[row])
+                existing = int(kf_i.points[kp_idx])
+                if existing >= 0 and st.valid[existing]:
+                    if existing != pid:
+                        # loop point wins (it is older/more established)
+                        m.replace_point(existing, pid)
+                else:
+                    m.add_observation(pid, kf_i, int(kp_idx))
+            m.update_connections(kf_i)
+
+    def _essential_graph_pgo(self, kf, cand, S_old, corrected):
+        m = self.map
+        kids = list(m.keyframe_order)
+        row = {kid: i for i, kid in enumerate(kids)}
+        V = len(kids)
+
+        S_init = np.stack([
+            corrected.get(kid, self._se3_to_S(m.keyframes[kid].Tcw))
+            for kid in kids
+        ])
+
+        edges = set()
+        for kid in kids:
+            kf_i = m.keyframes[kid]
+            if kf_i.parent is not None and kf_i.parent in row:
+                edges.add((min(kid, kf_i.parent), max(kid, kf_i.parent)))
+            for le in kf_i.loop_edges:
+                if le in row:
+                    edges.add((min(kid, le), max(kid, le)))
+            for nkid, w in kf_i.connected_keyframes.items():
+                if w >= 100 and nkid in row:
+                    edges.add((min(kid, nkid), max(kid, nkid)))
+        edges = sorted(edges)
+        if not edges:
+            return
+        ei = np.asarray([row[a] for a, b in edges], np.int32)
+        ej = np.asarray([row[b] for a, b in edges], np.int32)
+        # measurements from PRE-correction poses, except the loop edge and
+        # edges internal to the corrected group (post-correction relative)
+        S_meas = []
+        group = set(corrected.keys())
+        for (a, b) in edges:
+            if a in group and b in group:
+                Sa, Sb = corrected[a], corrected[b]
+            elif (a == kf.kid and b == cand.kid) or (a == cand.kid and b == kf.kid):
+                Sa = corrected.get(a, S_old[a])
+                Sb = corrected.get(b, S_old[b])
+            else:
+                Sa, Sb = S_old[a], S_old[b]
+            S_meas.append(Sa @ np.linalg.inv(Sb))
+        S_meas = np.stack(S_meas)
+
+        fixed = np.zeros(V, bool)
+        fixed[row[cand.kid]] = True
+
+        S_opt = optim.pose_graph_optimize(
+            jnp.asarray(S_init, jnp.float64),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(S_meas, jnp.float64),
+            jnp.ones((len(edges),), bool),
+            jnp.asarray(fixed),
+            iters=Parameters.kOptimizerPGOIterations,
+            fix_scale=self.sensor_type != SensorType.MONOCULAR,
+        )
+        S_opt = np.asarray(S_opt)
+
+        # write back: points corrected by their reference KF's delta
+        st = m.points
+        pid_ref_kid = {}
+        for pid in st.alive_ids():
+            obs = m.observations.get(int(pid))
+            if obs:
+                pid_ref_kid[int(pid)] = min(obs.keys())
+        for pid, ref_kid in pid_ref_kid.items():
+            if ref_kid not in row:
+                continue
+            i = row[ref_kid]
+            S_o = corrected.get(ref_kid, S_old.get(ref_kid))
+            if S_o is None:
+                continue
+            delta = np.linalg.inv(S_opt[i]) @ S_o
+            st.pos[pid] = self._sim3_apply(delta, st.pos[pid][None, :])[0]
+        for kid in kids:
+            s, R, t = self._S_to_srt(S_opt[row[kid]])
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = t / s
+            m.keyframes[kid].update_pose(T)
+
+    # --------------------------------------------------------------- helpers
+    @staticmethod
+    def _se3_to_S(T: np.ndarray) -> np.ndarray:
+        return np.asarray(T, np.float64).copy()
+
+    @staticmethod
+    def _S_to_srt(S: np.ndarray):
+        sR = S[:3, :3]
+        s = np.cbrt(np.linalg.det(sR))
+        return s, sR / s, S[:3, 3]
+
+    @staticmethod
+    def _sim3_apply(S: np.ndarray, pts: np.ndarray) -> np.ndarray:
+        return pts @ S[:3, :3].T + S[:3, 3]
+
+    # ------------------------------------------------------------- interface
+    def wait_if_closing(self):
+        pass  # synchronous scheduler: nothing to wait for
+
+    def save(self, path: str):
+        self.detector.vocabulary.save(path)
+
+    def load(self, path: str):
+        self.detector.vocabulary = BinaryVocabulary.load(path)

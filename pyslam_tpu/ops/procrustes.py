@@ -100,3 +100,67 @@ def sim3_ransac(
     S_out = jnp.where(use_ref, S_ref, Ss[best])
     mask_out = jnp.where(use_ref, mask_ref, mask)
     return S_out, mask_out, jnp.sum(mask_out)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hyp", "with_scale"))
+def sim3_ransac_reproj(
+    key,
+    pts1_c1: jnp.ndarray,   # (N,3) matched points in camera-1 frame
+    pts2_c2: jnp.ndarray,   # (N,3) same points in camera-2 frame
+    uv1: jnp.ndarray,       # (N,2) pixel observations in image 1
+    uv2: jnp.ndarray,       # (N,2) pixel observations in image 2
+    sigma2_1: jnp.ndarray,
+    sigma2_2: jnp.ndarray,
+    valid: jnp.ndarray,
+    K1: jnp.ndarray,
+    K2: jnp.ndarray,
+    chi2_th: float = 9.21,   # 2-dof 99% (ORB-SLAM Sim3Solver gate)
+    num_hyp: int = 256,
+    with_scale: bool = True,
+):
+    """RANSAC Sim(3) scored by MUTUAL REPROJECTION, not 3D distance.
+
+    This is the reference Sim3Solver's scoring (``cpp/solvers/Sim3Solver.cpp``):
+    triangulated far points carry large depth noise (stereo depth error grows
+    quadratically with distance), so 3D-3D alignment scoring rejects true
+    loops; pixel reprojection in both images is depth-noise tolerant.
+    Returns (S12 mapping cam2 coords -> cam1 coords, inlier_mask, count).
+    """
+    samples = _sample_minimal(key, valid, num_hyp, 3)
+
+    def solve(idx):
+        return umeyama_S(pts2_c2[idx], pts1_c1[idx], with_scale=with_scale)
+
+    Ss = jax.vmap(solve)(samples)  # (K,4,4): cam2 -> cam1
+
+    def proj_err2(S):
+        # project pts2 through S into image 1
+        p1 = lie.sim3_transform_points(S, pts2_c2)
+        z1 = jnp.maximum(p1[..., 2], 1e-6)
+        u1 = K1[0, 0] * p1[..., 0] / z1 + K1[0, 2]
+        v1 = K1[1, 1] * p1[..., 1] / z1 + K1[1, 2]
+        e1 = ((u1 - uv1[:, 0]) ** 2 + (v1 - uv1[:, 1]) ** 2) / jnp.maximum(sigma2_1, 1e-9)
+        # and pts1 through S^-1 into image 2
+        Sinv = lie.sim3_inv(S)
+        p2 = lie.sim3_transform_points(Sinv, pts1_c1)
+        z2 = jnp.maximum(p2[..., 2], 1e-6)
+        u2 = K2[0, 0] * p2[..., 0] / z2 + K2[0, 2]
+        v2 = K2[1, 1] * p2[..., 1] / z2 + K2[1, 2]
+        e2 = ((u2 - uv2[:, 0]) ** 2 + (v2 - uv2[:, 1]) ** 2) / jnp.maximum(sigma2_2, 1e-9)
+        return jnp.maximum(e1, e2)
+
+    errs = jax.vmap(proj_err2)(Ss)  # (K,N)
+    inl = (errs < chi2_th) & valid[None, :]
+    scores = jnp.sum(inl, axis=1)
+    best = jnp.argmax(scores)
+    mask = inl[best]
+
+    # refine: weighted Umeyama on inliers, re-gate
+    S_ref = umeyama_S(pts2_c2, pts1_c1, weights=mask.astype(pts1_c1.dtype),
+                      with_scale=with_scale)
+    errs_ref = proj_err2(S_ref)
+    mask_ref = (errs_ref < chi2_th) & valid
+    use_ref = jnp.sum(mask_ref) >= jnp.sum(mask)
+    S_out = jnp.where(use_ref, S_ref, Ss[best])
+    mask_out = jnp.where(use_ref, mask_ref, mask)
+    return S_out, mask_out, jnp.sum(mask_out)

@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import os
+
+# signal CPU mode to pyslam_tpu's cache guard (jax itself is configured below)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
