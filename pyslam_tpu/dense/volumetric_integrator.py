@@ -1,0 +1,157 @@
+"""Volumetric integrator: keyframe-queue facade + factory.
+
+Reference surface: pySLAM ``pyslam/dense/volumetric_integrator_base.py``
+(separate process with task queues, FPS throttling, reset/save/load/rebuild
+protocol, rebuild hook after loop closures) and
+``volumetric_integrator_factory.py`` with types TSDF / VOXEL_GRID /
+VOXEL_SEMANTIC_GRID / GAUSSIAN_SPLATTING.  Here integration is synchronous
+host scheduling around the jitted voxel-hash kernels; ``rebuild`` replays all
+keyframes after a loop correction exactly like the reference's rebuild task.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections import deque
+
+import numpy as np
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.dense.tsdf import TSDFVolume
+from pyslam_tpu.utils.logging import Printer
+
+
+class VolumetricIntegratorType(enum.Enum):
+    TSDF = "tsdf"
+    VOXEL_GRID = "voxel_grid"
+    VOXEL_SEMANTIC_GRID = "voxel_semantic_grid"
+    VOXEL_SEMANTIC_PROBABILISTIC_GRID = "voxel_semantic_probabilistic_grid"
+    GAUSSIAN_SPLATTING = "gaussian_splatting"
+
+
+class KeyframeSnapshot:
+    """Depth+image+pose captured at integration time (the reference snapshots
+    keyframe data into its task queue for the child process)."""
+
+    def __init__(self, kid, Twc, depth, intensity):
+        self.kid = kid
+        self.Twc = np.asarray(Twc)
+        self.depth = depth
+        self.intensity = intensity
+
+
+class VolumetricIntegrator:
+    def __init__(
+        self,
+        camera,
+        integrator_type: VolumetricIntegratorType = VolumetricIntegratorType.TSDF,
+        volume: TSDFVolume | None = None,
+        min_lba_times: int | None = None,
+    ):
+        self.camera = camera
+        self.type = integrator_type
+        self.volume = volume or TSDFVolume()
+        self.queue: deque[KeyframeSnapshot] = deque()
+        self.snapshots: dict[int, KeyframeSnapshot] = {}
+        # only integrate keyframes refined by >= N local BAs (reference
+        # kVolumetricIntegrationMinNumLBATimes)
+        self.min_lba_times = (
+            min_lba_times
+            if min_lba_times is not None
+            else Parameters.kVolumetricIntegrationMinNumLBATimes
+        )
+        self._depth_provider = None  # optional DepthEstimator for mono/stereo
+        self._slam_map = None
+
+    def set_depth_provider(self, estimator):
+        self._depth_provider = estimator
+
+    # ---------------------------------------------------------------- queue
+    def add_keyframe(self, kf, depth=None, intensity=None):
+        if depth is None:
+            depth = getattr(kf, "depth_img", None)
+        if depth is None:
+            return
+        snap = KeyframeSnapshot(kf.kid, kf.Twc, depth, intensity)
+        self.queue.append(snap)
+        self.snapshots[kf.kid] = snap
+        self._kf_ref = kf
+
+    def step(self) -> bool:
+        if not self.queue:
+            return False
+        snap = self.queue.popleft()
+        self._integrate_snapshot(snap)
+        return True
+
+    def run_all(self):
+        while self.step():
+            pass
+
+    def _integrate_snapshot(self, snap: KeyframeSnapshot):
+        intensity = (
+            snap.intensity
+            if snap.intensity is not None
+            else np.full_like(snap.depth, 128.0)
+        )
+        self.volume.integrate(snap.depth, intensity, snap.Twc, self.camera.K)
+
+    # -------------------------------------------------------------- rebuild
+    def rebuild(self, slam_map):
+        """Re-integrate every keyframe with its (loop-corrected) pose
+        (reference rebuild hook ``loop_closing.py:975``)."""
+        Printer.cyan("volumetric integrator: rebuilding after map correction")
+        self.volume.reset()
+        for kid in slam_map.keyframe_order:
+            snap = self.snapshots.get(kid)
+            kf = slam_map.keyframes.get(kid)
+            if snap is None or kf is None:
+                continue
+            snap.Twc = kf.Twc  # refreshed pose
+            self._integrate_snapshot(snap)
+
+    # --------------------------------------------------------------- output
+    def get_point_cloud(self):
+        return self.volume.extract_point_cloud()
+
+    def save(self, path: str):
+        self.volume.save(path)
+
+    def load(self, path: str):
+        self.volume.load(path)
+
+    def reset(self):
+        self.volume.reset()
+        self.queue.clear()
+        self.snapshots.clear()
+
+
+def volumetric_integrator_factory(
+    integrator_type=VolumetricIntegratorType.TSDF,
+    camera=None,
+    environment_type=None,
+    sensor_type=None,
+    **kw,
+) -> VolumetricIntegrator:
+    if isinstance(integrator_type, str):
+        integrator_type = VolumetricIntegratorType(integrator_type.lower())
+    depth_trunc = (
+        Parameters.kVolumetricIntegrationDepthTruncOutdoor
+        if getattr(environment_type, "name", "") == "OUTDOOR"
+        else Parameters.kVolumetricIntegrationDepthTruncIndoor
+    )
+    if integrator_type in (
+        VolumetricIntegratorType.TSDF,
+        VolumetricIntegratorType.VOXEL_GRID,
+    ):
+        vol = TSDFVolume(depth_trunc=depth_trunc, **kw)
+        return VolumetricIntegrator(camera, integrator_type, vol)
+    if integrator_type in (
+        VolumetricIntegratorType.VOXEL_SEMANTIC_GRID,
+        VolumetricIntegratorType.VOXEL_SEMANTIC_PROBABILISTIC_GRID,
+    ):
+        from pyslam_tpu.dense.semantic_volume import SemanticTSDFVolume
+
+        vol = SemanticTSDFVolume(depth_trunc=depth_trunc, **kw)
+        return VolumetricIntegrator(camera, integrator_type, vol)
+    raise NotImplementedError(f"integrator {integrator_type} not available yet")

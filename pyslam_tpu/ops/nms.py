@@ -53,9 +53,18 @@ def grid_topk_keypoints(
     flat_ys = ys.reshape(-1)
     flat_xs = xs.reshape(-1)
 
-    top_vals, top_i = jax.lax.top_k(flat_vals, max_out)
+    # small score maps can have fewer candidates than max_out: clamp k and
+    # pad the fixed-shape output with invalid slots
+    k = min(max_out, flat_vals.shape[0])
+    top_vals, top_i = jax.lax.top_k(flat_vals, k)
     sel_y = flat_ys[top_i]
     sel_x = flat_xs[top_i]
     valid = jnp.isfinite(top_vals)
     xy = jnp.stack([sel_x, sel_y], axis=-1).astype(jnp.float32)
-    return xy, jnp.where(valid, top_vals, 0.0), valid
+    scores = jnp.where(valid, top_vals, 0.0)
+    if k < max_out:
+        pad = max_out - k
+        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
+        scores = jnp.concatenate([scores, jnp.zeros((pad,), scores.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return xy, scores, valid

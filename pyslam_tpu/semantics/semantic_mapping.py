@@ -1,0 +1,117 @@
+"""Semantic mapping: per-keypoint semantics fused into map points.
+
+Reference: pySLAM ``pyslam/semantics/semantic_mapping_dense.py`` +
+``semantic_fusion_methods.py`` — per-keyframe segmentation, keypoint label
+sampling (``Frame.kps_sem``, reference ``frame.py:387``), fusion into map
+points by counting / Bayesian / averaging, optional semantic weighting in BA.
+Runs synchronously per keyframe like the other back-end modules.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections import deque
+
+import numpy as np
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.semantics.semantic_segmentation import (
+    SemanticSegmentationBase,
+    semantic_segmentation_factory,
+)
+
+
+class SemanticFeatureType(enum.Enum):
+    LABEL = "label"
+    PROBABILITY_VECTOR = "probability_vector"
+    FEATURE_VECTOR = "feature_vector"
+
+
+class SemanticMappingType(enum.Enum):
+    DENSE = "dense"
+
+
+class SemanticMappingConfig:
+    def __init__(
+        self,
+        segmentation_type="intensity_bands",
+        num_classes: int = 8,
+        feature_type: SemanticFeatureType = SemanticFeatureType.PROBABILITY_VECTOR,
+    ):
+        self.segmentation_type = segmentation_type
+        self.num_classes = num_classes
+        self.feature_type = feature_type
+
+
+class SemanticMappingDense:
+    """Per-keyframe segmentation + sparse map-point label fusion."""
+
+    def __init__(self, slam_map, config: SemanticMappingConfig | None = None,
+                 segmenter: SemanticSegmentationBase | None = None):
+        self.map = slam_map
+        self.config = config or SemanticMappingConfig()
+        self.segmenter = segmenter or semantic_segmentation_factory(
+            self.config.segmentation_type, self.config.num_classes
+        )
+        self.num_classes = self.segmenter.num_classes
+        self.queue: deque = deque()
+        # per-map-point class score accumulators (host dict -> lazily dense)
+        self.point_scores: dict[int, np.ndarray] = {}
+
+    def add_keyframe(self, kf, img=None):
+        if img is None:
+            img = getattr(kf, "img", None)
+        if img is None:
+            return
+        self.queue.append((kf, img))
+
+    def step(self) -> bool:
+        if not self.queue:
+            return False
+        kf, img = self.queue.popleft()
+        self.process_keyframe(kf, img)
+        return True
+
+    def run_all(self):
+        while self.step():
+            pass
+
+    def process_keyframe(self, kf, img):
+        out = self.segmenter.infer(img)
+        labels = out["labels"]
+        probs = out.get("probs")
+        h, w = labels.shape
+        xs = np.clip(np.round(kf.kps_raw[:, 0]).astype(int), 0, w - 1)
+        ys = np.clip(np.round(kf.kps_raw[:, 1]).astype(int), 0, h - 1)
+        kp_labels = labels[ys, xs]
+        kf.kps_sem = kp_labels  # reference stores per-keypoint semantics
+
+        # fuse into observed map points
+        slots = np.nonzero(kf.points >= 0)[0]
+        for kp_idx in slots:
+            pid = int(kf.points[kp_idx])
+            acc = self.point_scores.get(pid)
+            if acc is None:
+                acc = np.zeros(self.num_classes, np.float32)
+                self.point_scores[pid] = acc
+            if (
+                probs is not None
+                and self.config.feature_type == SemanticFeatureType.PROBABILITY_VECTOR
+            ):
+                acc += probs[ys[kp_idx], xs[kp_idx]]
+            else:
+                acc[kp_labels[kp_idx]] += 1.0
+
+    def point_label(self, pid: int) -> int:
+        acc = self.point_scores.get(int(pid))
+        return int(np.argmax(acc)) if acc is not None else -1
+
+    def point_confidence(self, pid: int) -> float:
+        acc = self.point_scores.get(int(pid))
+        if acc is None or acc.sum() <= 0:
+            return 0.0
+        return float(acc.max() / acc.sum())
+
+
+def semantic_mapping_factory(slam_map, config=None, **kw) -> SemanticMappingDense:
+    return SemanticMappingDense(slam_map, config, **kw)

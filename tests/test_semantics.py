@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from pyslam_tpu.dense.semantic_volume import SemanticTSDFVolume
+from pyslam_tpu.semantics.semantic_mapping import (
+    SemanticMappingConfig,
+    SemanticMappingDense,
+    semantic_mapping_factory,
+)
+from pyslam_tpu.semantics.semantic_segmentation import (
+    IntensityBandSegmentation,
+    semantic_segmentation_factory,
+)
+
+
+def test_intensity_band_segmentation(rng):
+    seg = IntensityBandSegmentation(num_classes=8)
+    img = rng.uniform(0, 255, (60, 80)).astype(np.float32)
+    out = seg.infer(img)
+    assert out["labels"].shape == (60, 80)
+    assert out["probs"].shape == (60, 80, 8)
+    # label consistent with intensity band
+    assert out["labels"][0, 0] == int(img[0, 0] / 256 * 8)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, atol=1e-5)
+
+
+def test_segmentation_factory():
+    seg = semantic_segmentation_factory("intensity_bands", num_classes=5)
+    assert seg.num_classes == 5
+
+
+def test_semantic_mapping_fuses_point_labels(rng):
+    from pyslam_tpu.slam.map import Map
+
+    class FakeKF:
+        pass
+
+    m = Map()
+    sm = semantic_mapping_factory(m, SemanticMappingConfig(num_classes=8))
+    kf = FakeKF()
+    kf.kps_raw = np.array([[10.0, 10.0], [50.0, 20.0]], np.float32)
+    kf.points = np.array([0, 1])
+    img = np.zeros((60, 80), np.float32)
+    img[:, :40] = 40.0    # band 1
+    img[:, 40:] = 200.0   # band 6
+    sm.add_keyframe(kf, img=img)
+    sm.run_all()
+    assert sm.point_label(0) == int(40 / 256 * 8)
+    assert sm.point_label(1) == int(200 / 256 * 8)
+    assert sm.point_confidence(0) > 0.5
+    assert hasattr(kf, "kps_sem")
+
+
+def test_semantic_tsdf_volume():
+    vol = SemanticTSDFVolume(
+        num_classes=8, voxel_size=0.05, sdf_trunc=0.2, depth_trunc=5.0,
+        capacity=1 << 16,
+    )
+    H, W = 60, 80
+    K = np.array([[100.0, 0, 40], [0, 100.0, 30], [0, 0, 1]])
+    depth = np.full((H, W), 2.0, np.float32)
+    img = np.full((H, W), 128.0, np.float32)
+    labels = np.full((H, W), 3, np.int32)
+    labels[:, W // 2:] = 5
+    vol.integrate_semantic(depth, img, labels, np.eye(4), K)
+    pts, labs = vol.extract_semantic_point_cloud(tsdf_band=0.3, min_weight=0.5)
+    assert len(pts) > 100
+    vals, counts = np.unique(labs, return_counts=True)
+    # both labels present, dominant ones are 3 and 5
+    top2 = set(vals[np.argsort(-counts)][:2])
+    assert top2 == {3, 5}
+
+
+def test_learned_models_run(rng):
+    """Flax model graphs compile and produce valid fixed-shape outputs
+    (random weights; numerical parity needs converted checkpoints)."""
+    from pyslam_tpu.models.superpoint import SuperPointExtractor
+    from pyslam_tpu.models.xfeat import XFeatExtractor
+    from pyslam_tpu.models.segformer import SegFormerInference
+
+    img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+    sp = SuperPointExtractor(num_features=100)
+    f = sp(img)
+    assert f.xy.shape == (100, 2) and f.desc.shape == (100, 256)
+
+    xf = XFeatExtractor(num_features=100)
+    f2 = xf(img)
+    assert f2.xy.shape == (100, 2) and f2.desc.shape == (100, 64)
+
+    seg = SegFormerInference(num_classes=7)
+    out = seg.infer(img)
+    assert out["labels"].shape == (96, 128)
+    assert out["probs"].shape == (96, 128, 7)
