@@ -1,0 +1,117 @@
+"""Depth estimator interface + factory.
+
+Reference surface: pySLAM ``pyslam/depth_estimation/depth_estimator_factory.py
+:87-195`` with types DEPTH_SGBM / DEPTH_ANYTHING_V2 / DEPTH_ANYTHING_V3 /
+DEPTH_PRO / DEPTH_RAFT_STEREO / DEPTH_CRESTEREO / DEPTH_MAST3R and base
+``DepthEstimator.infer(img, img_right) -> (depth, pts3d)``.
+
+Backends:
+- DEPTH_SGBM: the full JAX semi-global matcher (sgm.py), stereo.
+- DEPTH_ANYTHING_V2: flax DPT-lite monocular network (XLA graph; converted
+  checkpoint required for metric accuracy — zero-egress build).
+- DEPTH_RAFT_STEREO: routed to the SGM backend until a converted checkpoint
+  exists (same (depth, pts3d) contract).
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyslam_tpu.depth_estimation.sgm import sgm_disparity
+
+
+class DepthEstimatorType(enum.Enum):
+    DEPTH_SGBM = "sgbm"
+    DEPTH_ANYTHING_V2 = "depth_anything_v2"
+    DEPTH_ANYTHING_V3 = "depth_anything_v3"
+    DEPTH_PRO = "depth_pro"
+    DEPTH_RAFT_STEREO = "raft_stereo"
+    DEPTH_CRESTEREO_PYTORCH = "crestereo"
+    DEPTH_MAST3R = "mast3r"
+    DEPTH_MVDUST3R = "mvdust3r"
+
+
+class DepthEstimator:
+    """Base interface (reference depth_estimator_base.py)."""
+
+    def __init__(self, camera=None, min_depth=0.1, max_depth=50.0):
+        self.camera = camera
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+
+    def infer(self, img, img_right=None):
+        """Returns (depth (H,W) float32 with 0=invalid, pts3d or None)."""
+        raise NotImplementedError
+
+    def _depth_to_points(self, depth):
+        if self.camera is None:
+            return None
+        h, w = depth.shape
+        ys, xs = np.mgrid[0:h, 0:w]
+        z = np.asarray(depth)
+        ok = z > 0
+        x = (xs - self.camera.cx) / self.camera.fx * z
+        y = (ys - self.camera.cy) / self.camera.fy * z
+        pts = np.stack([x, y, z], axis=-1)
+        pts[~ok] = 0
+        return pts
+
+
+class DepthEstimatorSgbm(DepthEstimator):
+    def __init__(self, camera=None, max_disparity: int = 64, **kw):
+        super().__init__(camera, **kw)
+        self.max_disparity = max_disparity
+
+    def infer(self, img, img_right=None):
+        assert img_right is not None, "SGBM needs a stereo pair"
+        disp = np.asarray(
+            sgm_disparity(
+                jnp.asarray(img, jnp.float32),
+                jnp.asarray(img_right, jnp.float32),
+                max_disp=self.max_disparity,
+            )
+        )
+        if self.camera is not None and self.camera.bf > 0:
+            with np.errstate(divide="ignore"):
+                depth = np.where(disp > 0, self.camera.bf / np.maximum(disp, 1e-6), 0.0)
+            depth = np.where(
+                (depth > self.min_depth) & (depth < self.max_depth), depth, 0.0
+            ).astype(np.float32)
+        else:
+            depth = np.where(disp > 0, disp, 0.0).astype(np.float32)
+        return depth, self._depth_to_points(depth)
+
+
+class DepthEstimatorDepthAnything(DepthEstimator):
+    def __init__(self, camera=None, checkpoint: str | None = None, **kw):
+        super().__init__(camera, **kw)
+        from pyslam_tpu.models.depth_anything import DepthAnythingInference
+
+        self.model = DepthAnythingInference(checkpoint=checkpoint)
+
+    def infer(self, img, img_right=None):
+        depth = self.model.infer(img)
+        depth = np.clip(depth, 0.0, self.max_depth).astype(np.float32)
+        return depth, self._depth_to_points(depth)
+
+
+def depth_estimator_factory(
+    depth_estimator_type=DepthEstimatorType.DEPTH_SGBM,
+    camera=None,
+    max_depth: float = 50.0,
+    **kw,
+) -> DepthEstimator:
+    t = depth_estimator_type
+    if isinstance(t, str):
+        t = DepthEstimatorType(t.lower())
+    if t in (DepthEstimatorType.DEPTH_SGBM, DepthEstimatorType.DEPTH_RAFT_STEREO,
+             DepthEstimatorType.DEPTH_CRESTEREO_PYTORCH):
+        return DepthEstimatorSgbm(camera, max_depth=max_depth, **kw)
+    if t in (DepthEstimatorType.DEPTH_ANYTHING_V2,
+             DepthEstimatorType.DEPTH_ANYTHING_V3,
+             DepthEstimatorType.DEPTH_PRO):
+        return DepthEstimatorDepthAnything(camera, max_depth=max_depth, **kw)
+    raise NotImplementedError(f"depth estimator {t}")
