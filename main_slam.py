@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Full SLAM entry point (reference: pySLAM ``main_slam.py``).
+
+Runs the complete pipeline — tracking, local mapping, loop closing,
+optional volumetric integration and semantic mapping — over a configured or
+synthetic dataset, writes trajectories, evaluates ATE, and optionally saves
+the system state (map.json).
+
+    python main_slam.py                               # synthetic stereo demo
+    python main_slam.py --config config.yaml          # configured dataset
+    python main_slam.py --sensor rgbd --frames 120 --loop_detector DBOW3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from pyslam_tpu.config_parameters import Parameters
+from pyslam_tpu.evaluation.metrics import eval_ate
+from pyslam_tpu.features.tracker import FeatureTrackerConfig, FeatureTrackerConfigs
+from pyslam_tpu.io.dataset_factory import dataset_factory
+from pyslam_tpu.io.dataset_types import SensorType
+from pyslam_tpu.io.ground_truth import groundtruth_factory
+from pyslam_tpu.io.trajectory_writer import TrajectoryWriter
+from pyslam_tpu.slam.camera import PinholeCamera
+from pyslam_tpu.slam.slam import Slam
+from pyslam_tpu.utils.logging import Printer
+from pyslam_tpu.utils.timer import TimerFps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--sensor", default="stereo", choices=["mono", "stereo", "rgbd"])
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--features", default="ORB2")
+    ap.add_argument("--num_features", type=int, default=800)
+    ap.add_argument("--loop_detector", default="DBOW3")
+    ap.add_argument("--no_loop_closing", action="store_true")
+    ap.add_argument("--volumetric", action="store_true",
+                    help="run TSDF integration on keyframes (rgbd)")
+    ap.add_argument("--semantics", action="store_true")
+    ap.add_argument("--save_state", default=None, help="folder for map.json")
+    ap.add_argument("--load_state", default=None)
+    ap.add_argument("--save_trajectory", default=None)
+    ap.add_argument("--trajectory_format", default="tum",
+                    choices=["tum", "kitti", "euroc"])
+    ap.add_argument("--headless", action="store_true", default=True)
+    args = ap.parse_args()
+
+    # ------------------------------------------------------------- dataset
+    if args.config:
+        from pyslam_tpu.config import Config
+
+        cfg = Config(args.config)
+        dataset = dataset_factory(cfg.dataset_settings)
+        gt = groundtruth_factory(cfg.groundtruth_settings)
+        camera = cfg.camera
+        sensor = {"mono": SensorType.MONOCULAR, "stereo": SensorType.STEREO,
+                  "rgbd": SensorType.RGBD}[cfg.sensor_type]
+        tracker_cfg = FeatureTrackerConfigs.get(cfg.feature_tracker_config_name)
+        tracker_cfg.num_features = cfg.num_features
+        loop_cfg = cfg.loop_detection_config_name
+    else:
+        sensor = {"mono": SensorType.MONOCULAR, "stereo": SensorType.STEREO,
+                  "rgbd": SensorType.RGBD}[args.sensor]
+        dataset = dataset_factory(
+            {"type": "synthetic", "num_frames": args.frames,
+             "sensor_type": args.sensor, "trajectory": "loop",
+             "period": max(args.frames - 15, 10)}
+        )
+        gt = groundtruth_factory({"type": "synthetic", "dataset": dataset})
+        camera = PinholeCamera(
+            dataset.w, dataset.h, dataset.fx, dataset.fy, dataset.cx, dataset.cy,
+            fps=dataset.fps,
+            bf=dataset.fx * getattr(dataset, "baseline", 0.2),
+            depth_threshold=20.0,
+        )
+        tracker_cfg = FeatureTrackerConfig(
+            name=args.features, num_features=args.num_features, num_levels=4
+        )
+        loop_cfg = args.loop_detector
+
+    if args.no_loop_closing:
+        loop_cfg = None
+
+    slam = Slam(camera, tracker_cfg, loop_detector_config=loop_cfg,
+                sensor_type=sensor)
+
+    if args.load_state:
+        slam.load_system_state(args.load_state)
+
+    integrator = None
+    if args.volumetric:
+        from pyslam_tpu.dense.volumetric_integrator import (
+            VolumetricIntegratorType, volumetric_integrator_factory,
+        )
+
+        integrator = volumetric_integrator_factory(
+            VolumetricIntegratorType.TSDF, camera=camera,
+            environment_type=dataset.environment_type,
+        )
+    semantic_mapping = None
+    if args.semantics:
+        from pyslam_tpu.semantics.semantic_mapping import semantic_mapping_factory
+
+        semantic_mapping = semantic_mapping_factory(slam.map)
+
+    # ---------------------------------------------------------------- loop
+    timer = TimerFps("frame")
+    num_lost = 0
+    last_kf_count = 0
+    for i in range(len(dataset)):
+        img = dataset.getImage(i)
+        if img is None:
+            break
+        depth = dataset.getDepth(i)
+        with timer:
+            slam.track(
+                img, img_right=dataset.getImageRight(i), depth=depth,
+                frame_id=i, timestamp=dataset.getTimestamp(i),
+            )
+        if slam.state.name != "OK":
+            num_lost += 1
+        # feed aux modules at keyframe granularity
+        if slam.map.num_keyframes() > last_kf_count:
+            last_kf_count = slam.map.num_keyframes()
+            kf = slam.map.last_keyframe()
+            if integrator is not None and depth is not None:
+                integrator.add_keyframe(kf, depth=np.where(depth > 0, depth, 0.0),
+                                        intensity=img)
+                integrator.run_all()
+            if semantic_mapping is not None:
+                semantic_mapping.add_keyframe(kf, img=img)
+                semantic_mapping.run_all()
+        if i % 20 == 0:
+            Printer.green(
+                f"frame {i}/{len(dataset)}: state={slam.state.name} "
+                f"kfs={slam.map.num_keyframes()} pts={slam.map.num_points()} "
+                f"fps={timer.fps:.1f}"
+            )
+
+    # -------------------------------------------------------------- outputs
+    ts, poses = slam.get_final_trajectory()
+    Printer.blue(
+        f"done: {len(ts)} tracked frames, {slam.map.num_keyframes()} keyframes, "
+        f"{slam.map.num_points()} points, {num_lost} lost frames"
+    )
+    if slam.loop_closing is not None:
+        Printer.blue(f"loops closed: {slam.loop_closing.num_loops_closed}")
+
+    if args.save_trajectory:
+        with TrajectoryWriter(args.trajectory_format, args.save_trajectory) as tw:
+            tw.write_full_trajectory(ts, poses)
+        Printer.green(f"trajectory -> {args.save_trajectory}")
+
+    metrics = {"num_frames": len(dataset), "num_tracked": len(ts),
+               "num_lost": num_lost, "fps": timer.fps}
+    if gt is not None and len(ts) > 3:
+        res = eval_ate(ts, poses[:, :3, 3], gt.timestamps, gt.positions,
+                       with_scale=(sensor == SensorType.MONOCULAR))
+        Printer.blue(str(res))
+        metrics["ate_rmse"] = res.rmse
+        metrics["ate_max"] = res.max
+
+    if args.save_state:
+        slam.save_system_state(args.save_state)
+        with open(os.path.join(args.save_state, "other_metrics_info.txt"), "w") as f:
+            json.dump(metrics, f, indent=2)
+    if integrator is not None:
+        pts, cols = integrator.get_point_cloud()
+        Printer.blue(f"dense map: {len(pts)} surface voxels")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
