@@ -84,6 +84,12 @@ class FeatureTrackerConfigs:
     FAST_ORB = FeatureTrackerConfig(
         name="FAST_ORB", detector_type=FeatureDetectorTypes.FAST
     )
+    LK_FAST = FeatureTrackerConfig(
+        name="LK_FAST",
+        detector_type=FeatureDetectorTypes.FAST,
+        tracker_type=FeatureTrackerTypes.LK,
+        num_levels=3,
+    )
     # learned-feature presets activate the flax models when weights are present
     SUPERPOINT = FeatureTrackerConfig(
         name="SUPERPOINT",
@@ -170,7 +176,32 @@ class FeatureTracker:
         return idx1, idx2[idx1]
 
 
+class LkFeatureTracker(FeatureTracker):
+    """Lucas-Kanade tracker (reference ``LkFeatureTracker`` at
+    ``feature_tracker.py:202``): detect once, track keypoints frame-to-frame
+    with pyramidal LK instead of descriptor matching."""
+
+    def __init__(self, config: FeatureTrackerConfig):
+        super().__init__(config)
+        self._prev_img = None
+
+    def track_lk(self, img0, img1, pts0):
+        """(pts1, ok_mask, residuals) for (N,2) points from img0 to img1."""
+        import jax.numpy as jnp
+
+        from pyslam_tpu.ops import lk as lk_ops
+
+        pts1, ok, res = lk_ops.lk_track_pyramidal(
+            jnp.asarray(img0, jnp.float32),
+            jnp.asarray(img1, jnp.float32),
+            jnp.asarray(pts0, jnp.float32),
+        )
+        return np.asarray(pts1), np.asarray(ok), np.asarray(res)
+
+
 def feature_tracker_factory(config: FeatureTrackerConfig | str = "ORB2") -> FeatureTracker:
     if isinstance(config, str):
         config = FeatureTrackerConfigs.get(config)
+    if config.tracker_type == FeatureTrackerTypes.LK:
+        return LkFeatureTracker(config)
     return FeatureTracker(config)
