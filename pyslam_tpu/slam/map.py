@@ -67,10 +67,19 @@ class Map:
         self.points = MapPointStorage()
         self.keyframes: dict[int, KeyFrame] = {}       # kid -> KeyFrame
         self.keyframe_order: list[int] = []            # insertion order
-        # observations: pid -> {kid: kp_idx}
+        # observations: pid -> {kid: kp_idx} (authoritative store; a native
+        # C++ mirror accelerates covisibility counting when the toolchain is
+        # available — see pyslam_tpu.native)
         self.observations: dict[int, dict[int, int]] = {}
         self.max_frame_id = 0
         self.max_keyframe_id = 0
+        self._native = None
+        try:
+            from pyslam_tpu.native import NativeObsGraph
+
+            self._native = NativeObsGraph()
+        except Exception:
+            self._native = None
 
     # ------------------------------------------------------------ keyframes
     def add_keyframe(self, kf: KeyFrame):
@@ -118,12 +127,16 @@ class Map:
         obs[kf.kid] = int(kp_idx)
         kf.points[kp_idx] = pid
         self.points.num_obs[pid] = len(obs)
+        if self._native is not None:
+            self._native.add_observation(int(pid), int(kf.kid), int(kp_idx))
 
     def remove_observation(self, pid: int, kid: int):
         obs = self.observations.get(pid)
         if obs is None or kid not in obs:
             return
         kp_idx = obs.pop(kid)
+        if self._native is not None:
+            self._native.remove_observation(int(pid), int(kid))
         kf = self.keyframes.get(kid)
         if kf is not None and 0 <= kp_idx < len(kf.points) and kf.points[kp_idx] == pid:
             kf.points[kp_idx] = -1
@@ -137,6 +150,8 @@ class Map:
         return False  # refined later; culling uses num_obs thresholds
 
     def delete_point(self, pid: int):
+        if self._native is not None:
+            self._native.remove_point(int(pid))
         obs = self.observations.pop(pid, {})
         for kid, kp_idx in obs.items():
             kf = self.keyframes.get(kid)
@@ -150,6 +165,8 @@ class Map:
         if old_pid == new_pid:
             return
         obs_old = self.observations.pop(old_pid, {})
+        if self._native is not None:
+            self._native.remove_point(int(old_pid))
         st = self.points
         for kid, kp_idx in obs_old.items():
             kf = self.keyframes.get(kid)
@@ -163,6 +180,8 @@ class Map:
             else:
                 obs_new[kid] = kp_idx
                 kf.points[kp_idx] = new_pid
+                if self._native is not None:
+                    self._native.add_observation(int(new_pid), int(kid), int(kp_idx))
         st.n_visible[new_pid] += st.n_visible[old_pid]
         st.n_found[new_pid] += st.n_found[old_pid]
         st.num_obs[new_pid] = len(self.observations.get(new_pid, {}))
@@ -278,14 +297,20 @@ class Map:
         ``keyframe.py update_connections``; weight >= 15 shared points)."""
         if min_weight is None:
             min_weight = 15
-        counter: dict[int, int] = {}
-        for pid in kf.points[kf.points >= 0]:
-            obs = self.observations.get(int(pid))
-            if not obs:
-                continue
-            for kid in obs.keys():
-                if kid != kf.kid:
-                    counter[kid] = counter.get(kid, 0) + 1
+        pids = kf.points[kf.points >= 0]
+        if self._native is not None:
+            counter = self._native.covisibility_counts(
+                np.asarray(pids, np.int64), exclude_kid=int(kf.kid)
+            )
+        else:
+            counter = {}
+            for pid in pids:
+                obs = self.observations.get(int(pid))
+                if not obs:
+                    continue
+                for kid in obs.keys():
+                    if kid != kf.kid:
+                        counter[kid] = counter.get(kid, 0) + 1
         if not counter:
             return
         best_kid = max(counter, key=counter.get)

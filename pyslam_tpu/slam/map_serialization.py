@@ -129,11 +129,13 @@ def map_from_json(d: dict, feature_tracker, camera) -> Map:
         m.add_keyframe(kf)
         max_kid = max(max_kid, kf.kid)
         max_fid = max(max_fid, kf.id)
-        # rebuild observations from slots
+        # rebuild observations from slots (keep the native mirror in sync)
         for kp_idx in np.nonzero(kf.points >= 0)[0]:
             pid = int(kf.points[kp_idx])
             if pid < st.size and st.valid[pid]:
                 m.observations.setdefault(pid, {})[kf.kid] = int(kp_idx)
+                if m._native is not None:
+                    m._native.add_observation(pid, int(kf.kid), int(kp_idx))
             else:
                 kf.points[kp_idx] = -1
     for pid, obs in m.observations.items():
