@@ -22,6 +22,7 @@ class Parameters:
     kScaleFactor = 1.2                      # pyramid scale factor
     kFASTThreshold = 20                     # FAST corner threshold (initial)
     kFASTMinThreshold = 7                   # relaxed threshold for empty cells
+    kUsePallasFAST = True                   # fused Pallas FAST+NMS kernel (TPU backend only)
     kSigmaLevel0 = 1.0                      # keypoint measurement sigma at level 0
 
     # ------------------------------------------------------------ matching

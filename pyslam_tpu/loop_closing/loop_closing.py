@@ -117,6 +117,18 @@ class LoopClosing:
         self.last_loop_kf_id = -1
         self.num_loops_closed = 0
         self._key = jax.random.PRNGKey(11)
+        # the reference's acceptance counts assume a 2000-feature budget;
+        # scale them like the keyframe-decision thresholds
+        feat_scale = min(1.0, feature_tracker.num_features / 2000.0)
+        self.min_bow_matches = max(
+            12, int(Parameters.kLoopClosingGeometryCheckerMinNumBoWMatches * feat_scale)
+        )
+        self.min_sim3_inliers = max(
+            10, int(Parameters.kSim3SolverMinInliers * feat_scale)
+        )
+        self.min_matched_points = max(
+            18, int(Parameters.kLoopClosingMinNumMatchedMapPoints * feat_scale)
+        )
 
     # ----------------------------------------------------------------- queue
     def add_keyframe(self, kf: KeyFrame):
@@ -222,7 +234,7 @@ class LoopClosing:
         )
         idx = np.asarray(idx)
         rows = np.nonzero(idx >= 0)[0]
-        if len(rows) < Parameters.kLoopClosingGeometryCheckerMinNumBoWMatches:
+        if len(rows) < self.min_bow_matches:
             return False, None, 0
 
         p1_w = st.pos[pids1[rows]]
@@ -258,7 +270,7 @@ class LoopClosing:
             num_hyp=Parameters.kSim3SolverRansacIterations,
             with_scale=not fix_scale,
         )
-        if int(n_inl) < Parameters.kSim3SolverMinInliers:
+        if int(n_inl) < self.min_sim3_inliers:
             return False, None, 0
         S_opt, inl2, n_inl2 = optim.optimize_sim3(
             jnp.asarray(np.asarray(S12), jnp.float32),
@@ -273,8 +285,9 @@ class LoopClosing:
             jnp.asarray(self.camera.K, jnp.float32),
             chi2_th=Parameters.kLoopClosingTh2,
             fix_scale=fix_scale,
+            inliers_init=inl,
         )
-        if int(n_inl2) < Parameters.kSim3SolverMinInliers:
+        if int(n_inl2) < self.min_sim3_inliers:
             return False, None, int(n_inl2)
         S12_np = np.asarray(S_opt, np.float64)
 
@@ -283,7 +296,7 @@ class LoopClosing:
         # keyframe and pick up additional matches before final acceptance.
         n_extra, S12_np = self._search_by_sim3(kf, cand, S12_np)
         n_final = int(n_inl2) + n_extra
-        if n_final < Parameters.kLoopClosingMinNumMatchedMapPoints:
+        if n_final < self.min_matched_points:
             return False, None, n_final
         return True, S12_np, n_final
 

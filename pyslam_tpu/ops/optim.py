@@ -192,35 +192,50 @@ def pose_optimization(
         return jnp.sum(jnp.where(active, loss, 0.0))
 
     def body(i, carry):
-        T, lam, cost, inliers = carry
-        r, Jc, w, _, _, _, _ = residuals(T, inliers)
+        # Deferred-acceptance LM: ONE residual/jacobian evaluation per
+        # iteration.  The cost at the candidate pose both scores the previous
+        # step (revert if worse) and builds the next step from whichever pose
+        # won.  Halves the per-iteration work vs the textbook
+        # propose-then-evaluate loop.
+        T_cand, T_best, lam, best_cost, inliers = carry
+        r, Jc, w, _, loss, active, _ = residuals(T_cand, inliers)
+        cand_cost = jnp.sum(jnp.where(active, loss, 0.0))
+        accept = cand_cost < best_cost
+        T_base = jnp.where(accept, T_cand, T_best)
+        best_cost = jnp.where(accept, cand_cost, best_cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e6))
+        # On reject the jacobians are from the (nearby) rejected pose while
+        # the step is applied to T_best with increased damping — standard
+        # single-evaluation LM compromise; rejects are rare after warmup and
+        # the growing lambda guarantees contraction toward T_best.
         Jw = Jc * w[:, None, None]
         H = jnp.einsum("nij,nik->jk", Jw, Jc)
         g = jnp.einsum("nij,ni->j", Jw, r)
         D = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-6))
         dx = -jnp.linalg.solve(H + lam * D, g)
-        T_new = lie.se3_exp(dx) @ T
-        new_cost = cost_of(T_new, inliers)
-        accept = new_cost < cost
-        T = jnp.where(accept, T_new, T)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
-        cost = jnp.where(accept, new_cost, cost)
+        T_next = lie.se3_exp(dx) @ T_base
+        T_best = T_base
 
         # round boundary: reclassify all observations with the raw chi2 gate
         def reclassify(args):
-            T, cost, inliers = args
-            _, _, _, chi2, _, _, behind = residuals(T, valid, use_robust=False)
+            T_next, T_best, best_cost, inliers = args
+            _, _, _, chi2, _, _, behind = residuals(T_best, valid, use_robust=False)
             inl = valid & ~behind & (chi2 <= delta2)
-            return T, cost_of(T, inl), inl
+            return T_best, T_best, cost_of(T_best, inl), inl
 
         at_boundary = (i + 1) % iters_per_round == 0
-        T, cost, inliers = jax.lax.cond(
-            at_boundary, reclassify, lambda a: a, (T, cost, inliers)
+        T_next, T_best, best_cost, inliers = jax.lax.cond(
+            at_boundary, reclassify, lambda a: a,
+            (T_next, T_best, best_cost, inliers),
         )
-        return T, lam, cost, inliers
+        return T_next, T_best, lam, best_cost, inliers
 
-    init = (Tcw, jnp.asarray(1e-4, Tcw.dtype), cost_of(Tcw, valid), valid)
-    T, _, _, inliers = jax.lax.fori_loop(0, rounds * iters_per_round, body, init)
+    big = jnp.asarray(1e30, Tcw.dtype)
+    init = (Tcw, Tcw, jnp.asarray(1e-4, Tcw.dtype), big, valid)
+    _, T, _, _, inliers = jax.lax.fori_loop(
+        0, rounds * iters_per_round, body, init
+    )
     return T, inliers, jnp.sum(inliers)
 
 
@@ -397,17 +412,23 @@ def optimize_sim3(
     K1: jnp.ndarray,
     K2: jnp.ndarray,
     chi2_th: float = 10.0,
-    iters: int = 20,
+    iters: int = 40,
     fix_scale: bool = False,
+    inliers_init: jnp.ndarray | None = None,
 ):
     """Refine a relative Sim(3) S12 (cam2 -> cam1) from mutual reprojections.
 
     Mirrors the reference's ``optimize_sim3`` (pySLAM ``optimizer_g2o.py:1226``):
     matched map points, expressed in each camera frame, are projected into the
     *other* image through S12 / S12^-1; LM minimizes both pixel residual sets
-    with Huber weights; observations failing the chi2 gate are de-weighted each
-    iteration.  Returns (S12_opt, inlier_mask, num_inliers).
+    with Huber weights; observations failing the chi2 gate are re-gated each
+    iteration.  ``inliers_init`` (e.g. the Sim3-RANSAC consensus set) seeds the
+    active set — starting from ALL tentative matches lets gross outliers drag
+    the estimate away from the RANSAC solution before the first re-gate.
+    Returns (S12_opt, inlier_mask, num_inliers).
     """
+    if inliers_init is None:
+        inliers_init = valid
 
     def residuals(xi):
         dS = lie.sim3_exp(xi) if not fix_scale else lie.sim3_exp(xi.at[6].set(0.0))
@@ -453,13 +474,30 @@ def optimize_sim3(
             p2 = lie.sim3_transform_points(Sinv, pts1_c1)
             e1 = (proj(K1, p1) - uv1) / jnp.sqrt(jnp.maximum(sigma2_1[:, None], 1e-12))
             e2 = (proj(K2, p2) - uv2) / jnp.sqrt(jnp.maximum(sigma2_2[:, None], 1e-12))
+            # Huber IRLS: the robust weight must be FROZEN during
+            # differentiation (stop_gradient).  Differentiating through it
+            # minimizes ||w(e)*e||^2 which is CONSTANT (= delta^2) in the
+            # saturated region -> zero gradient, optimizer stalls.
+            delta = jnp.sqrt(chi2_th)
+
+            def hub(e):
+                n = jnp.linalg.norm(e, axis=-1, keepdims=True)
+                w_irls = jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(n, 1e-9)))
+                return e * jax.lax.stop_gradient(w_irls)
+
             w = inl.astype(S.dtype)[:, None]
-            return jnp.concatenate([(e1 * w).ravel(), (e2 * w).ravel()])
+            return jnp.concatenate([(hub(e1) * w).ravel(), (hub(e2) * w).ravel()])
 
         r = flat_res(xi0)
         J = jax.jacfwd(flat_res)(xi0)  # (4N, 7)
         H = J.T @ J
         g = J.T @ r
+        # keep H invertible: base Tikhonov everywhere, and when the scale is
+        # fixed its J column is zero -> without a strong diagonal entry the
+        # solve is singular (NaN poses, zero inliers)
+        H = H + 1e-6 * jnp.eye(7, dtype=H.dtype)
+        if fix_scale:
+            H = H.at[6, 6].add(1.0)
         D = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-6))
         dx = -jnp.linalg.solve(H + lam * D, g)
         if fix_scale:
@@ -479,8 +517,17 @@ def optimize_sim3(
 
             c1 = jnp.sum((proj(K1, p1) - uv1) ** 2, -1) / jnp.maximum(sigma2_1, 1e-12)
             c2 = jnp.sum((proj(K2, p2) - uv2) ** 2, -1) / jnp.maximum(sigma2_2, 1e-12)
+
+            # accept/reject must score the SAME Huber objective the IRLS step
+            # minimizes; comparing raw chi2 blocks every robust step and the
+            # LM stalls at the first damping blow-up
+            def rho(c):
+                rn = jnp.sqrt(jnp.maximum(c, 1e-18))
+                d = jnp.sqrt(chi2_th)
+                return jnp.where(c <= chi2_th, c, 2.0 * d * rn - chi2_th)
+
             w = inl.astype(Sx.dtype)
-            return jnp.sum((c1 + c2) * w)
+            return jnp.sum((rho(c1) + rho(c2)) * w)
 
         new_cost = cost_at(S_new)
         accept = new_cost < cost
@@ -500,10 +547,20 @@ def optimize_sim3(
 
         c1 = jnp.sum((proj(K1, p1) - uv1) ** 2, -1) / jnp.maximum(sigma2_1, 1e-12)
         c2 = jnp.sum((proj(K2, p2) - uv2) ** 2, -1) / jnp.maximum(sigma2_2, 1e-12)
-        inl = valid & (c1 < chi2_th) & (c2 < chi2_th)
+        inl_new = valid & (c1 < chi2_th) & (c2 < chi2_th)
+        # never let the re-gate collapse the active set before convergence:
+        # a not-yet-converged iterate can push every chi2 over the threshold,
+        # zeroing all weights and freezing the optimization permanently
+        keep = jnp.sum(inl_new) >= jnp.minimum(jnp.sum(inl), 10)
+        inl = jnp.where(keep, inl_new, inl)
         return S, lam, cost, inl
 
-    init = (S12, jnp.asarray(1e-4, S12.dtype), jnp.asarray(jnp.inf, S12.dtype), valid)
+    init = (
+        S12,
+        jnp.asarray(1e-4, S12.dtype),
+        jnp.asarray(jnp.inf, S12.dtype),
+        valid & inliers_init,
+    )
     S, _, _, inl = jax.lax.fori_loop(0, iters, body, init)
     return S, inl, jnp.sum(inl)
 

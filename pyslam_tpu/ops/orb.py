@@ -31,7 +31,10 @@ MOMENT_RADIUS = 7           # orientation patch: SMALLER than the descriptor —
                             # wide moment patches pick up parallax-unstable
                             # neighbor structure (measured p90 angle error 56deg
                             # at r=15 vs 17deg at r=7 across a 4-frame gap)
-PATTERN_RADIUS = 13         # max offset so rotated samples stay inside 15
+PATTERN_RADIUS = 10         # max offset: rotated by any angle stays within
+                            # the 32x32 patch (10*sqrt(2) = 14.1 <= 15) — a
+                            # larger radius gets edge-clipped after rotation,
+                            # which silently distorts descriptors per bin
 NUM_BITS = 256
 
 
@@ -68,60 +71,144 @@ _CIRC_DY, _CIRC_DX = _circle_offsets()
 ANGLE_BINS = 30  # rBRIEF quantization: 2*pi/30 = 12 deg
 
 
-@jax.jit
-def keypoint_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle (radians) at (N,2) pixel coords.
+def _moment_kernels():
+    """(32,32) static x/y moment weight maps (circle of MOMENT_RADIUS around
+    the patch center)."""
+    r = MOMENT_RADIUS
+    ys, xs = np.mgrid[0:32, 0:32]
+    dx = xs - 16
+    dy = ys - 16
+    mask = (dx * dx + dy * dy) <= r * r
+    return (
+        jnp.asarray((dx * mask).astype(np.float32)),
+        jnp.asarray((dy * mask).astype(np.float32)),
+    )
 
-    Gathers the radius-15 circular patch per keypoint (clamped at borders) and
-    reduces the m10/m01 moments on the VPU.  Two stabilizers against
-    orientation noise (which silently rotates descriptors apart — measured 2x
-    match loss on weakly-oriented corners):
-    - angle quantized to 12-degree bins (original rBRIEF scheme), so moment
-      jitter mostly stays within a bin;
-    - keypoints whose centroid offset is insignificant relative to the patch
-      energy get angle 0 (symmetric corners have no meaningful orientation).
-    Callers should pass the BLURRED image for further stability.
-    """
-    h, w = img.shape
-    x0 = jnp.round(xy[:, 0]).astype(jnp.int32)
-    y0 = jnp.round(xy[:, 1]).astype(jnp.int32)
-    xs = jnp.clip(x0[:, None] + _CIRC_DX[None, :], 0, w - 1)   # (N, M)
-    ys = jnp.clip(y0[:, None] + _CIRC_DY[None, :], 0, h - 1)
-    vals = img.reshape(-1)[ys * w + xs]                         # (N, M)
-    m10 = jnp.sum(vals * _CIRC_DX[None, :].astype(img.dtype), axis=1)
-    m01 = jnp.sum(vals * _CIRC_DY[None, :].astype(img.dtype), axis=1)
+
+_MOM_KX, _MOM_KY = _moment_kernels()
+
+
+@jax.jit
+def angles_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle from (N,32,32) patches, quantized to
+    12-degree bins (original rBRIEF scheme — quantization keeps small moment
+    jitter within a bin; a small MOMENT_RADIUS avoids parallax-unstable
+    neighbor structure, see module docstring history)."""
+    m10 = jnp.sum(patches * _MOM_KX[None], axis=(1, 2))
+    m01 = jnp.sum(patches * _MOM_KY[None], axis=(1, 2))
     angle = jnp.arctan2(m01, m10)
-    # quantize to 12-degree bins so small moment jitter stays within a bin
     step = 2.0 * jnp.pi / ANGLE_BINS
     return jnp.round(angle / step) * step
+
+
+@jax.jit
+def keypoint_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle (radians) at (N,2) pixel coords (via the
+    shared patch extraction; prefer angles_from_patches when patches exist)."""
+    return angles_from_patches(extract_patches(img, xy))
 
 
 @jax.jit
 def brief_descriptors(
     img_blurred: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray
 ) -> jnp.ndarray:
-    """Steered BRIEF: (N, 256) int8 bits from rotated pattern comparisons."""
-    h, w = img_blurred.shape
-    c = jnp.cos(angles)[:, None]
-    s = jnp.sin(angles)[:, None]
-    px1 = PATTERN[None, :, 0].astype(img_blurred.dtype)
-    py1 = PATTERN[None, :, 1].astype(img_blurred.dtype)
-    px2 = PATTERN[None, :, 2].astype(img_blurred.dtype)
-    py2 = PATTERN[None, :, 3].astype(img_blurred.dtype)
+    """Steered BRIEF: (N, 256) int8 bits from rotated pattern comparisons.
 
-    # rotate offsets (same rounding scheme as steered BRIEF)
-    x1 = jnp.round(xy[:, 0:1] + c * px1 - s * py1).astype(jnp.int32)
-    y1 = jnp.round(xy[:, 1:2] + s * px1 + c * py1).astype(jnp.int32)
-    x2 = jnp.round(xy[:, 0:1] + c * px2 - s * py2).astype(jnp.int32)
-    y2 = jnp.round(xy[:, 1:2] + s * px2 + c * py2).astype(jnp.int32)
+    Patch-based formulation (12x faster than element gathers on TPU, measured
+    8.6ms -> 0.7ms at 2000 keypoints): extract a dense 32x32 patch per
+    keypoint with vmapped ``dynamic_slice`` (row-structured memory access XLA
+    lowers well), then — because angles are already quantized to ANGLE_BINS —
+    compare at STATIC precomputed per-bin offsets for all bins at once and
+    select each keypoint's bin.  Static indices avoid the TPU's slow
+    arbitrary-gather path entirely.
+    """
+    patches = extract_patches(img_blurred, xy)              # (N,32,32)
+    bins = angle_bins(angles)                               # (N,)
+    return brief_from_patches(patches, bins)
 
-    flat = img_blurred.reshape(-1)
 
-    def fetch(x, y):
-        xi = jnp.clip(x, 0, w - 1)
-        yi = jnp.clip(y, 0, h - 1)
-        return flat[yi * w + xi]
+PATCH_SIZE = 32
+PATCH_HALF = 16
 
-    i1 = fetch(x1, y1)
-    i2 = fetch(x2, y2)
-    return (i1 < i2).astype(jnp.int8)
+
+@jax.jit
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """(N, 32, 32) patches centered (at [16,16]) on rounded keypoint coords."""
+    h, w = img.shape
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - PATCH_HALF, 0, w - PATCH_SIZE)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - PATCH_HALF, 0, h - PATCH_SIZE)
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (PATCH_SIZE, PATCH_SIZE))
+
+    return jax.vmap(one)(y0, x0)
+
+
+def angle_bins(angles: jnp.ndarray) -> jnp.ndarray:
+    """Quantized-angle bin ids in [0, ANGLE_BINS)."""
+    step = 2.0 * jnp.pi / ANGLE_BINS
+    return jnp.mod(jnp.round(angles / step).astype(jnp.int32), ANGLE_BINS)
+
+
+def _binned_pattern_indices():
+    """(ANGLE_BINS, 256) flat patch indices for each rotated pattern point."""
+    p = np.asarray(PATTERN, np.float32)
+    out1 = np.zeros((ANGLE_BINS, NUM_BITS), np.int32)
+    out2 = np.zeros((ANGLE_BINS, NUM_BITS), np.int32)
+    for b in range(ANGLE_BINS):
+        th = 2.0 * np.pi * b / ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        for which, out in ((0, out1), (2, out2)):
+            px, py = p[:, which], p[:, which + 1]
+            rx = np.clip(np.round(c * px - s * py), -(PATCH_HALF - 1), PATCH_HALF - 1)
+            ry = np.clip(np.round(s * px + c * py), -(PATCH_HALF - 1), PATCH_HALF - 1)
+            out[b] = ((ry + PATCH_HALF) * PATCH_SIZE + (rx + PATCH_HALF)).astype(np.int32)
+    return jnp.asarray(out1), jnp.asarray(out2)
+
+
+_BIN_IDX1, _BIN_IDX2 = _binned_pattern_indices()
+
+
+def _bin_diff_matrices() -> jnp.ndarray:
+    """(ANGLE_BINS, 1024, 256) selection-difference matrices D_b with
+    D_b[idx2[k], k] = +1 and D_b[idx1[k], k] = -1.
+
+    The comparison  patch[idx1] < patch[idx2]  becomes  (flat @ D_b) > 0 —
+    ONE MXU matmul per bin instead of gathers.  Arbitrary-index gathers on
+    TPU measured ~9ms for the descriptor sampling at N=2000; the matmul
+    formulation is ~60 GFLOP over all bins, microseconds on the MXU.  Each
+    column holds exactly one +1 and one -1 (or all zero when the pair
+    degenerates to the same cell), so f32 results are exact differences and
+    the strict '<' semantics carry over ((flat@D) > 0).
+    """
+    i1 = np.asarray(_BIN_IDX1)
+    i2 = np.asarray(_BIN_IDX2)
+    D = np.zeros((ANGLE_BINS, PATCH_SIZE * PATCH_SIZE, NUM_BITS), np.float32)
+    for b in range(ANGLE_BINS):
+        for k in range(NUM_BITS):
+            D[b, i2[b, k], k] += 1.0
+            D[b, i1[b, k], k] -= 1.0
+    return jnp.asarray(D)
+
+
+_BIN_DIFF = _bin_diff_matrices()
+
+
+@jax.jit
+def brief_from_patches(patches: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
+    """(N,32,32) patches + (N,) bin ids -> (N,256) int8 descriptor bits."""
+    n = patches.shape[0]
+    flat = patches.reshape(n, PATCH_SIZE * PATCH_SIZE)
+
+    def body(b, acc):
+        proj = jax.lax.dot_general(
+            flat, _BIN_DIFF[b],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, 256)
+        return jnp.where((bins == b)[:, None], proj, acc)
+
+    acc = jax.lax.fori_loop(
+        0, ANGLE_BINS, body, jnp.zeros((n, NUM_BITS), jnp.float32)
+    )
+    return (acc > 0).astype(jnp.int8)

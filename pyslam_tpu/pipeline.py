@@ -21,7 +21,7 @@ from pyslam_tpu.ops import hamming, matching, optim
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_features", "num_levels", "scale", "fast_th"),
+    static_argnames=("num_features", "num_levels", "scale", "fast_th", "use_pallas"),
 )
 def frontend_step(
     img: jnp.ndarray,        # (H, W) grayscale
@@ -34,12 +34,17 @@ def frontend_step(
     num_levels: int = 8,
     scale: float = 1.2,
     fast_th: float = 20.0,
+    use_pallas: bool | None = None,
 ):
     """Extract + match + optimize in one compiled graph.
 
     Returns (feats, matched_pt_idx per kp, Tcw_opt, num_inliers).
     """
-    feats = _extract_jit(img, num_features, num_levels, scale, fast_th, 16, 6)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    feats = _extract_jit(
+        img, num_features, num_levels, scale, fast_th, 16, 6, use_pallas
+    )
 
     dmat = hamming.hamming_distance_matrix(map_desc, feats.desc).astype(jnp.float32)
     idx, dist = matching.match_ratio_test(

@@ -283,6 +283,12 @@ class Tracking:
         ref_matches = int(
             (self.map.points.num_obs[ref_pids] >= min_obs).sum()
         ) if len(ref_pids) else 0
+        # degenerate right after stereo/RGBD init: every point has ONE
+        # observation, so the min_obs count is 0 and the ratio clause can
+        # never fire; fall back to the KF's raw association count so the
+        # second keyframe can spawn before tracking starves
+        if ref_matches == 0:
+            ref_matches = len(ref_pids)
 
         is_stereo = self.sensor_type in (SensorType.STEREO, SensorType.RGBD)
         # close-point bookkeeping (stereo/RGBD); the reference's absolute

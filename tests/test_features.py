@@ -99,3 +99,38 @@ def test_extractor_rotation_tolerance(rng):
         d, max_distance=64.0, ratio=0.8, valid_a=f1.valid, valid_b=f2.valid
     )
     assert (np.asarray(idx) >= 0).sum() > 30
+
+
+def test_pallas_fast_parity(rng):
+    """Fused Pallas FAST+NMS (interpret mode on CPU) == XLA reference path."""
+    from pyslam_tpu.ops import pallas_fast
+
+    img = jnp.asarray(synth_image(rng, h=150, w=200), jnp.float32)
+    ref = np.asarray(fast.nms3x3(fast.fast_score_map(img, 20.0)))
+    got = np.asarray(
+        pallas_fast.fast_score_map_pallas(img, 20.0, interpret=True)
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_fast_band_boundaries(rng):
+    """Corners sitting exactly on band boundaries must survive the halo'd
+    banding (h chosen so corners land at rows around multiples of BAND)."""
+    from pyslam_tpu.ops import pallas_fast
+
+    h, w = 3 * pallas_fast.BAND + 17, 160
+    img = np.full((h, w), 50.0, np.float32)
+    for yc in (pallas_fast.BAND, 2 * pallas_fast.BAND - 1, 2 * pallas_fast.BAND):
+        img[yc - 4 : yc + 4, 60:80] = 200.0
+        img[yc - 4 : yc + 4, 100:120] = 220.0
+    # noise breaks score ties: a perfectly flat rectangle yields equal corner
+    # scores at adjacent pixels, which STRICT 3x3 NMS suppresses entirely
+    img = img + rng.uniform(0.0, 2.0, (h, w)).astype(np.float32)
+    img = jnp.asarray(img)
+    ref = np.asarray(fast.nms3x3(fast.fast_score_map(img, 20.0)))
+    got = np.asarray(
+        pallas_fast.fast_score_map_pallas(img, 20.0, interpret=True)
+    )
+    assert ref.max() > 0  # the synthetic corners actually respond
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
