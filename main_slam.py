@@ -69,9 +69,13 @@ def main():
         sensor = {"mono": SensorType.MONOCULAR, "stereo": SensorType.STEREO,
                   "rgbd": SensorType.RGBD}[args.sensor]
         dataset = dataset_factory(
+            # period bounds the yaw rate (360/period deg per frame); faster
+            # than ~3 deg/frame out-runs frame-to-frame matching on the
+            # narrow-FOV synthetic renderer, for this framework AND the
+            # reference's matcher geometry. 160 matches tests/test_loop_e2e.
             {"type": "synthetic", "num_frames": args.frames,
              "sensor_type": args.sensor, "trajectory": "loop",
-             "period": max(args.frames - 15, 10)}
+             "period": max(args.frames - 15, 120)}
         )
         gt = groundtruth_factory({"type": "synthetic", "dataset": dataset})
         camera = PinholeCamera(
