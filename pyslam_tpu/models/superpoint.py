@@ -86,15 +86,15 @@ class SuperPointExtractor:
         self._run = _run
 
     def load_checkpoint(self, path: str):
-        import flax
+        """Load a converted .npz or an official MagicLeap torch .pth."""
+        if path.endswith((".pth", ".pt")):
+            from pyslam_tpu.models.torch_convert import superpoint_from_torch_file
 
-        z = np.load(path, allow_pickle=True)
-        self.params = flax.core.freeze(
-            jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(self.params),
-                [jnp.asarray(z[k]) for k in sorted(z.files)],
-            )
-        )
+            self.params = superpoint_from_torch_file(path, self.params)
+        else:
+            from pyslam_tpu.models.torch_convert import load_variables_npz
+
+            self.params = load_variables_npz(path, self.params)
 
     def __call__(self, img) -> FeatureData:
         img = jnp.asarray(img, jnp.float32)
