@@ -254,6 +254,194 @@ class VideoDataset(DatasetBase):
         )
 
 
+class ReplicaDataset(DatasetBase):
+    """Replica (NICE-SLAM export layout): ``results/frameNNNNNN.jpg`` +
+    ``results/depthNNNNNN.png`` (depth factor 6553.5), ``traj.txt`` GT poses
+    (reference ReplicaDataset, pySLAM ``io/dataset.py``)."""
+
+    def __init__(self, base_path: str, sequence: str = "",
+                 sensor_type=SensorType.RGBD, depth_factor: float = 6553.5):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.INDOOR
+        root = os.path.join(base_path, sequence) if sequence else base_path
+        res = os.path.join(root, "results")
+        self.rgb = sorted(
+            glob.glob(os.path.join(res, "frame*.jpg"))
+            + glob.glob(os.path.join(res, "frame*.png"))
+        )
+        self.depth = sorted(glob.glob(os.path.join(res, "depth*.png")))
+        self.num_frames = len(self.rgb)
+        self.depth_factor = depth_factor
+        self.fps = 30.0
+
+    def getImage(self, i):
+        return _imread_gray(self.rgb[i]) if i < self.num_frames else None
+
+    def getImageColor(self, i):
+        return _imread_color(self.rgb[i]) if i < self.num_frames else None
+
+    def getDepth(self, i):
+        if self.sensor_type == SensorType.RGBD and i < len(self.depth):
+            return _imread_depth_png(self.depth[i], self.depth_factor)
+        return None
+
+
+class TartanAirDataset(DatasetBase):
+    """TartanAir: ``image_left/NNNNNN_left.png`` (+ ``image_right``),
+    ``depth_left/NNNNNN_left_depth.npy`` (metric float32), ``pose_left.txt``
+    (reference TartanAir handling in pySLAM's dataset factory)."""
+
+    def __init__(self, base_path: str, sequence: str = "",
+                 sensor_type=SensorType.RGBD):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.OUTDOOR
+        root = os.path.join(base_path, sequence) if sequence else base_path
+        self.left = sorted(glob.glob(os.path.join(root, "image_left", "*.png")))
+        self.right = sorted(glob.glob(os.path.join(root, "image_right", "*.png")))
+        self.depths = sorted(glob.glob(os.path.join(root, "depth_left", "*.npy")))
+        self.num_frames = len(self.left)
+        self.fps = 10.0
+
+    def getImage(self, i):
+        return _imread_gray(self.left[i]) if i < self.num_frames else None
+
+    def getImageColor(self, i):
+        return _imread_color(self.left[i]) if i < self.num_frames else None
+
+    def getImageRight(self, i):
+        if self.sensor_type == SensorType.STEREO and i < len(self.right):
+            return _imread_gray(self.right[i])
+        return None
+
+    def getDepth(self, i):
+        if self.sensor_type == SensorType.RGBD and i < len(self.depths):
+            return np.load(self.depths[i]).astype(np.float32)
+        return None
+
+
+class ScanNetDataset(DatasetBase):
+    """ScanNet (exported): ``color/N.jpg`` + ``depth/N.png`` in millimeters
+    (factor 1000); frames indexed by integer filename."""
+
+    def __init__(self, base_path: str, sequence: str = "",
+                 sensor_type=SensorType.RGBD):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.INDOOR
+        root = os.path.join(base_path, sequence) if sequence else base_path
+
+        def by_index(paths):
+            return sorted(
+                paths, key=lambda p: int(os.path.splitext(os.path.basename(p))[0])
+            )
+
+        self.rgb = by_index(
+            glob.glob(os.path.join(root, "color", "*.jpg"))
+            + glob.glob(os.path.join(root, "color", "*.png"))
+        )
+        self.depth = by_index(glob.glob(os.path.join(root, "depth", "*.png")))
+        self.num_frames = len(self.rgb)
+        self.depth_factor = 1000.0
+        self.fps = 30.0
+
+    def getImage(self, i):
+        return _imread_gray(self.rgb[i]) if i < self.num_frames else None
+
+    def getImageColor(self, i):
+        return _imread_color(self.rgb[i]) if i < self.num_frames else None
+
+    def getDepth(self, i):
+        if self.sensor_type == SensorType.RGBD and i < len(self.depth):
+            return _imread_depth_png(self.depth[i], self.depth_factor)
+        return None
+
+
+class SevenScenesDataset(DatasetBase):
+    """7-Scenes: ``seq-XX/frame-NNNNNN.color.png`` + ``.depth.png``
+    (millimeters; 65535 = invalid -> 0)."""
+
+    def __init__(self, base_path: str, sequence: str = "seq-01",
+                 sensor_type=SensorType.RGBD):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.INDOOR
+        root = os.path.join(base_path, sequence)
+        self.rgb = sorted(glob.glob(os.path.join(root, "frame-*.color.png")))
+        self.depth = sorted(glob.glob(os.path.join(root, "frame-*.depth.png")))
+        self.num_frames = len(self.rgb)
+        self.depth_factor = 1000.0
+        self.fps = 30.0
+
+    def getImage(self, i):
+        return _imread_gray(self.rgb[i]) if i < self.num_frames else None
+
+    def getImageColor(self, i):
+        return _imread_color(self.rgb[i]) if i < self.num_frames else None
+
+    def getDepth(self, i):
+        if self.sensor_type == SensorType.RGBD and i < len(self.depth):
+            d = _imread_depth_png(self.depth[i], self.depth_factor)
+            return np.where(d >= 65.0, 0.0, d).astype(np.float32)
+        return None
+
+
+class NeuralRgbdDataset(DatasetBase):
+    """Neural-RGBD: ``images/imgNNNN.png`` + ``depth/depthNNNN.png``
+    (millimeters), optional ``poses.txt``."""
+
+    def __init__(self, base_path: str, sequence: str = "",
+                 sensor_type=SensorType.RGBD):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.INDOOR
+        root = os.path.join(base_path, sequence) if sequence else base_path
+        self.rgb = sorted(glob.glob(os.path.join(root, "images", "img*.png")))
+        self.depth = sorted(glob.glob(os.path.join(root, "depth", "depth*.png")))
+        self.num_frames = len(self.rgb)
+        self.depth_factor = 1000.0
+        self.fps = 30.0
+
+    def getImage(self, i):
+        return _imread_gray(self.rgb[i]) if i < self.num_frames else None
+
+    def getImageColor(self, i):
+        return _imread_color(self.rgb[i]) if i < self.num_frames else None
+
+    def getDepth(self, i):
+        if self.sensor_type == SensorType.RGBD and i < len(self.depth):
+            return _imread_depth_png(self.depth[i], self.depth_factor)
+        return None
+
+
+class LiveDataset(DatasetBase):
+    """Live camera via OpenCV (reference LiveDataset). Frames are pulled on
+    demand; ``num_frames`` is a soft cap for the main loop."""
+
+    def __init__(self, camera_id: int = 0, num_frames: int = 10 ** 9,
+                 fps: float = 30.0, sensor_type=SensorType.MONOCULAR):
+        import cv2
+
+        self.sensor_type = sensor_type
+        self.cap = cv2.VideoCapture(camera_id)
+        if not self.cap.isOpened():
+            raise RuntimeError(f"cannot open camera {camera_id}")
+        self.num_frames = num_frames
+        self.fps = fps
+        self._last = None
+
+    def getImage(self, i):
+        ok, frame = self.cap.read()
+        if not ok:
+            return None
+        self._last = frame
+        return (
+            0.299 * frame[..., 2] + 0.587 * frame[..., 1] + 0.114 * frame[..., 0]
+        ).astype(np.float32)
+
+    def getImageColor(self, i):
+        return self._last[..., ::-1] if self._last is not None else None
+
+    def isOk(self):
+        return self.cap.isOpened()
+
+
 @dataclass
 class SyntheticWorld:
     """Deterministic 3D blob world + camera trajectory for hermetic tests."""

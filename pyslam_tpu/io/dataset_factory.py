@@ -8,7 +8,13 @@ from pyslam_tpu.io.dataset import (
     FolderDataset,
     IclNuimDataset,
     KittiDataset,
+    LiveDataset,
+    NeuralRgbdDataset,
+    ReplicaDataset,
+    ScanNetDataset,
+    SevenScenesDataset,
     SyntheticDataset,
+    TartanAirDataset,
     TumDataset,
     VideoDataset,
 )
@@ -50,6 +56,44 @@ def dataset_factory(config) -> DatasetBase:
         return FolderDataset(base, d.get("glob", "*.png"), d.get("fps", 30.0), sensor)
     if ds_type == DatasetType.VIDEO:
         return VideoDataset(base, d.get("fps", 30.0), sensor)
+    if ds_type == DatasetType.REPLICA:
+        return ReplicaDataset(base, name, sensor_type=sensor)
+    if ds_type == DatasetType.TARTANAIR:
+        return TartanAirDataset(base, name, sensor_type=sensor)
+    if ds_type == DatasetType.SCANNET:
+        return ScanNetDataset(base, name, sensor_type=sensor)
+    if ds_type == DatasetType.SEVEN_SCENES:
+        return SevenScenesDataset(base, name or "seq-01", sensor_type=sensor)
+    if ds_type == DatasetType.NEURAL_RGBD:
+        return NeuralRgbdDataset(base, name, sensor_type=sensor)
+    if ds_type == DatasetType.LIVE:
+        return LiveDataset(
+            d.get("camera_id", 0), d.get("num_frames", 10 ** 9),
+            d.get("fps", 30.0), sensor,
+        )
+    if ds_type in (DatasetType.ROS2BAG, DatasetType.ROS1BAG):
+        from pyslam_tpu.io.ros2bag import Ros2BagDataset
+
+        if ds_type == DatasetType.ROS1BAG:
+            raise ValueError(
+                "ROS1 bags are not supported natively; convert with "
+                "'rosbags-convert' to rosbag2 (.db3) first"
+            )
+        return Ros2BagDataset(
+            base, d["topic"], d.get("right_topic"), d.get("depth_topic"),
+            sensor_type=sensor if "sensor_type" in d else None,
+            sync_tol_ms=d.get("sync_tol_ms", 20.0),
+            depth_factor=d.get("depth_factor", 1000.0),
+        )
+    if ds_type == DatasetType.MCAP:
+        from pyslam_tpu.io.mcap_io import McapDataset
+
+        return McapDataset(
+            base, d["topic"], d.get("right_topic"), d.get("depth_topic"),
+            sensor_type=sensor if "sensor_type" in d else None,
+            sync_tol_ms=d.get("sync_tol_ms", 20.0),
+            depth_factor=d.get("depth_factor", 1000.0),
+        )
     if ds_type == DatasetType.SYNTHETIC:
         return SyntheticDataset(
             num_frames=d.get("num_frames", 60),
