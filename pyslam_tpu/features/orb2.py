@@ -47,6 +47,42 @@ class FeatureData(NamedTuple):
     valid: jnp.ndarray
 
 
+@jax.jit
+def _pack_feature_meta(xy, level, angle, size, response, valid):
+    """Pack the six small per-keypoint fields into ONE (N,7) f32 buffer so a
+    host consumer needs 2 device readbacks (meta + desc) instead of 7 — on a
+    remote-TPU tunnel each readback costs ~10 ms of RPC latency."""
+    return jnp.concatenate(
+        [
+            xy.astype(jnp.float32),
+            level.astype(jnp.float32)[:, None],
+            angle.astype(jnp.float32)[:, None],
+            size.astype(jnp.float32)[:, None],
+            response.astype(jnp.float32)[:, None],
+            valid.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def featuredata_to_numpy(fd: FeatureData) -> FeatureData:
+    """Device FeatureData -> numpy FeatureData with exactly two transfers."""
+    if isinstance(fd.xy, np.ndarray):
+        return fd
+    meta = np.asarray(
+        _pack_feature_meta(fd.xy, fd.level, fd.angle, fd.size, fd.response, fd.valid)
+    )
+    return FeatureData(
+        xy=np.ascontiguousarray(meta[:, 0:2]),
+        level=meta[:, 2].astype(np.int32),
+        angle=meta[:, 3].copy(),
+        size=meta[:, 4].copy(),
+        response=meta[:, 5].copy(),
+        desc=np.asarray(fd.desc),
+        valid=meta[:, 6] > 0.5,
+    )
+
+
 def level_quotas(num_features: int, num_levels: int, scale: float) -> list[int]:
     """Geometric per-level quota (sum == num_features)."""
     inv = 1.0 / scale

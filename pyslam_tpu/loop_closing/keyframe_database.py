@@ -17,10 +17,16 @@ class KeyFrameDatabase:
         self.kf_words: dict[int, np.ndarray] = {}     # kid -> unique word ids
         self.kf_gdes: dict[int, np.ndarray] = {}      # kid -> global descriptor
 
-    def add(self, kid: int, words: np.ndarray, g_des: np.ndarray):
+    def add(self, kid: int, words: np.ndarray | None, g_des: np.ndarray):
+        """words=None -> score-based mode (VLAD/VPR-class detectors): only
+        the global descriptor is stored and candidates are scored by pure
+        similarity (reference ``loop_detector_vpr.py`` behavior)."""
+        self.kf_gdes[kid] = g_des
+        if words is None:
+            self.kf_words[kid] = np.empty((0,), np.int64)
+            return
         uniq = np.unique(words[words >= 0])
         self.kf_words[kid] = uniq
-        self.kf_gdes[kid] = g_des
         for w in uniq:
             self.inverted[int(w)].append(kid)
 
@@ -60,11 +66,19 @@ class KeyFrameDatabase:
         their covisibility groups; return best-of-group keyframes whose group
         score >= 0.75 * best group score."""
         exclude = set(connected) | {kid}
-        counts = self._common_word_counts(words, exclude)
+        if words is None:
+            # score-based mode: every stored keyframe is a candidate with a
+            # zero word gate; similarity does the filtering
+            counts = {k: 1 for k in self.kf_gdes if k not in exclude}
+            th_common = 0.0
+        else:
+            counts = self._common_word_counts(words, exclude)
+            if not counts:
+                return []
+            max_common = max(counts.values())
+            th_common = max(0.8 * max_common, 1.0)
         if not counts:
             return []
-        max_common = max(counts.values())
-        th_common = max(0.8 * max_common, 1.0)
 
         if min_score is None:
             # min score vs covisible keyframes (ORB-SLAM computes the minimum
@@ -116,13 +130,20 @@ class KeyFrameDatabase:
                 seen.add(bkid)
         return out
 
-    def detect_relocalization_candidates(self, words: np.ndarray, g_des: np.ndarray,
+    def detect_relocalization_candidates(self, words: np.ndarray | None,
+                                         g_des: np.ndarray,
                                          max_out: int = 5) -> list[int]:
-        counts = self._common_word_counts(words, set())
+        if words is None:
+            counts = {k: 1 for k in self.kf_gdes}
+            th = 0.0
+        else:
+            counts = self._common_word_counts(words, set())
+            if not counts:
+                return []
+            max_common = max(counts.values())
+            th = max(0.5 * max_common, 1.0)
         if not counts:
             return []
-        max_common = max(counts.values())
-        th = max(0.5 * max_common, 1.0)
         scored = [
             (kid, self.score(g_des, self.kf_gdes[kid]))
             for kid, c in counts.items()

@@ -26,6 +26,7 @@ from pyslam_tpu.config_parameters import Parameters
 from pyslam_tpu.io.dataset_types import SensorType
 from pyslam_tpu.loop_closing.keyframe_database import KeyFrameDatabase
 from pyslam_tpu.loop_closing.loop_detector_configs import (
+    GlobalDescriptorType,
     LoopDetectorConfig,
     LoopDetectorConfigs,
     LoopDetectorVocabularyType,
@@ -40,17 +41,43 @@ from pyslam_tpu.utils.padding import pad_bucket, pad_rows
 
 
 class LoopDetector:
-    """Global-descriptor computation on device + database bookkeeping."""
+    """Global-descriptor computation on device + database bookkeeping.
+
+    BoW-class types (DBOW2/DBOW3/IBOW/OBINDEX2) quantize against a binary
+    vocabulary and return (words, tf-idf histogram); score-based types (VLAD,
+    SAD; reference ``loop_detector_vpr.py`` class) return (None, g_des) and
+    the keyframe database switches to pure similarity scoring."""
 
     def __init__(self, config: LoopDetectorConfig):
         self.config = config
         self.vocabulary = BinaryVocabulary(num_words=config.num_words)
         self._trained = False
         self._train_buffer: list[np.ndarray] = []
+        gdt = config.global_descriptor_type
+        self.vlad = None
+        if gdt == GlobalDescriptorType.VLAD:
+            from pyslam_tpu.loop_closing.vlad import VladVocabulary
+
+            self.vlad = VladVocabulary(num_clusters=config.num_words)
+        self.score_based = gdt in (
+            GlobalDescriptorType.VLAD, GlobalDescriptorType.SAD,
+        )
 
     def describe_frame(self, frame):
         desc = frame.des
         valid = frame.valid
+        gdt = self.config.global_descriptor_type
+        if gdt == GlobalDescriptorType.VLAD:
+            return None, self.vlad.global_descriptor(desc, valid)
+        if gdt == GlobalDescriptorType.SAD:
+            from pyslam_tpu.loop_closing.vlad import sad_descriptor
+
+            img = getattr(frame, "img_thumb", None)
+            if img is None:
+                # no thumbnail retained: fall back to descriptor mean
+                v = np.asarray(desc[valid], np.float32).mean(axis=0)
+                return None, v / max(np.linalg.norm(v), 1e-12)
+            return None, np.asarray(sad_descriptor(jnp.asarray(img, jnp.float32)))
         if (
             self.config.vocabulary_type == LoopDetectorVocabularyType.SESSION_TRAINED
             and not self._trained
@@ -147,6 +174,17 @@ class LoopClosing:
     def process_keyframe(self, kf: KeyFrame):
         words, g_des = self.detector.describe_frame(kf)
         kf.g_des = g_des
+        # VLAD trains on the first keyframes of the session: once it fires,
+        # re-describe every keyframe stored with the placeholder descriptor
+        vlad = self.detector.vlad
+        if vlad is not None and vlad.consume_just_trained():
+            for kid2 in list(self.db.kf_gdes):
+                kf2 = self.map.keyframes.get(kid2)
+                if kf2 is not None:
+                    g2 = vlad.global_descriptor(kf2.des, kf2.valid)
+                    self.db.kf_gdes[kid2] = g2
+                    kf2.g_des = g2
+            kf.g_des = g_des = vlad.global_descriptor(kf.des, kf.valid)
 
         candidates: list[int] = []
         if (
@@ -161,7 +199,8 @@ class LoopClosing:
             )
         # always register AFTER querying (avoid self-hit)
         self.db.add(kf.kid, words, g_des)
-        self.detector.vocabulary.add_document(words)
+        if words is not None:
+            self.detector.vocabulary.add_document(words)
         if not candidates:
             self.consistency.check([], self._covisibles)
             return

@@ -84,6 +84,9 @@ class LoopDetectorConfigs:
     VLAD = LoopDetectorConfig(
         name="VLAD", global_descriptor_type=GlobalDescriptorType.VLAD, num_words=64
     )
+    SAD = LoopDetectorConfig(
+        name="SAD", global_descriptor_type=GlobalDescriptorType.SAD
+    )
     NETVLAD = LoopDetectorConfig(
         name="NETVLAD", global_descriptor_type=GlobalDescriptorType.NETVLAD
     )

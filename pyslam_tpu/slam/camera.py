@@ -84,27 +84,46 @@ class PinholeCamera(Camera):
         self.v_max = float(max(und[2, 1], und[3, 1]))
 
     # ------------------------------------------------------------- helpers
+    # These run in HOST orchestration code on small data-dependent shapes:
+    # numpy, not jnp — an eager jnp op here is a device dispatch (and on the
+    # remote-TPU tunnel, a fresh tiny executable per shape).  Device-side
+    # code traces ops.geometry directly inside its jits.
     def undistort_points(self, uv):
-        uv = jnp.asarray(uv, jnp.float32)
         if not self.is_distorted:
-            return uv
-        return geometry.undistort_pixels(
-            uv, jnp.asarray(self.K, jnp.float32), jnp.asarray(self.D, jnp.float32)
+            return np.asarray(uv, np.float32)
+        return np.asarray(
+            geometry.undistort_pixels(
+                jnp.asarray(uv, jnp.float32),
+                jnp.asarray(self.K, jnp.float32),
+                jnp.asarray(self.D, jnp.float32),
+            )
         )
 
     def unproject_points(self, uv):
         """Pixels -> normalized coords on z=1 plane (undistorted input)."""
-        return geometry.pixel_to_normalized(jnp.asarray(uv, jnp.float32), jnp.asarray(self.K, jnp.float32))
+        uv = np.asarray(uv, np.float32)
+        x = (uv[..., 0] - self.cx) / self.fx
+        y = (uv[..., 1] - self.cy) / self.fy
+        return np.stack([x, y], axis=-1)
 
     def project_points(self, Tcw, pts_w):
-        return geometry.project_points(
-            jnp.asarray(Tcw, jnp.float32), jnp.asarray(pts_w, jnp.float32), jnp.asarray(self.K, jnp.float32)
+        Tcw = np.asarray(Tcw, np.float32)
+        pts_w = np.asarray(pts_w, np.float32)
+        pc = pts_w @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = pc[..., 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        uv = pc[..., :2] / zs[..., None]
+        uv = uv * np.array([self.fx, self.fy], np.float32) + np.array(
+            [self.cx, self.cy], np.float32
         )
+        return uv, z
 
     def backproject_points(self, uv, depth):
-        return geometry.backproject(
-            jnp.asarray(uv, jnp.float32), jnp.asarray(depth, jnp.float32), jnp.asarray(self.K, jnp.float32)
-        )
+        uv = np.asarray(uv, np.float32)
+        depth = np.asarray(depth, np.float32)
+        x = (uv[..., 0] - self.cx) / self.fx
+        y = (uv[..., 1] - self.cy) / self.fy
+        return np.stack([x * depth, y * depth, depth], axis=-1)
 
     def is_in_image(self, uv, margin: float = 0.0):
         uv = np.asarray(uv)

@@ -49,10 +49,30 @@ class Frame:
         self.is_keyframe = False
         self.feature_tracker = feature_tracker
 
+        # 64x64 average-pooled thumbnail (16 KB): retained for appearance-
+        # based place recognition (SAD global descriptor) without holding the
+        # full frame in the map
+        self.img_thumb = None
+        if img is not None:
+            a = np.asarray(img, np.float32)
+            if a.ndim == 3:
+                a = a.mean(axis=2)
+            h, w = a.shape
+            ph, pw = max(h // 64, 1), max(w // 64, 1)
+            gh, gw = h // ph, w // pw
+            self.img_thumb = (
+                a[: gh * ph, : gw * pw].reshape(gh, ph, gw, pw).mean(axis=(1, 3))
+            )
+
         if features is None and img is not None and feature_tracker is not None:
             features = feature_tracker.detectAndCompute(img)
 
         if features is not None:
+            # ONE packed readback for all per-keypoint fields (features
+            # usually live on device right after extraction)
+            from pyslam_tpu.features.orb2 import featuredata_to_numpy
+
+            features = featuredata_to_numpy(features)
             # undistort once at construction (reference frame.py:534-537)
             xy = np.asarray(features.xy, np.float32)
             if camera.is_distorted:

@@ -191,18 +191,24 @@ class LocalMapping:
             if len(i1) == 0:
                 continue
             i2 = idx2[i1]
+            n_real = len(i1)
 
-            # triangulate in normalized coords
-            xy1 = np.asarray(cam.unproject_points(kf.kps[i1]))
-            xy2 = np.asarray(cam.unproject_points(kf2.kps[i2]))
+            # triangulate in normalized coords — PADDED to a power-of-two
+            # bucket: data-dependent match counts would otherwise compile a
+            # fresh XLA graph per count (measured 17.4 s/keyframe of pure
+            # compilation on the TPU remote-compile path)
+            i1p, _ = pad_bucket(i1, fill=i1[0])
+            i2p, _ = pad_bucket(i2, fill=i2[0])
+            xy1 = np.asarray(cam.unproject_points(kf.kps[i1p]))
+            xy2 = np.asarray(cam.unproject_points(kf2.kps[i2p]))
             pts = np.asarray(
                 geometry.triangulate_dlt(
                     jnp.asarray(kf.Tcw, jnp.float64), jnp.asarray(kf2.Tcw, jnp.float64),
                     jnp.asarray(xy1, jnp.float64), jnp.asarray(xy2, jnp.float64),
                 )
             )
-            sig1 = self.tracker.sigma2[kf.levels[i1]] / cam.fx**2
-            sig2 = self.tracker.sigma2[kf2.levels[i2]] / cam.fx**2
+            sig1 = self.tracker.sigma2[kf.levels[i1p]] / cam.fx**2
+            sig2 = self.tracker.sigma2[kf2.levels[i2p]] / cam.fx**2
             ok = np.array(
                 geometry.triangulation_checks(
                     jnp.asarray(pts), jnp.asarray(kf.Tcw), jnp.asarray(kf2.Tcw),
@@ -211,6 +217,8 @@ class LocalMapping:
                     cos_max_parallax=Parameters.kCosMaxParallax,
                 )
             )
+            # drop pad rows, restore real-row views
+            pts, ok = pts[:n_real], ok[:n_real]
             # scale-consistency check between the two observations
             d1 = np.linalg.norm(pts - kf.Ow, axis=1)
             d2 = np.linalg.norm(pts - kf2.Ow, axis=1)
