@@ -103,9 +103,22 @@ class Tracking:
         self.relocalizer = None  # injected by Slam when loop detection is on
         self.reset_requested = False
 
+        # MAD-adaptive descriptor-distance gate (reference SLAMDynamicConfig)
+        from pyslam_tpu.slam.slam_dynamic_config import SLAMDynamicConfig
+
+        self.dyn_config = (
+            SLAMDynamicConfig() if Parameters.kUseDynamicDesDistanceTh else None
+        )
+
         self._ib = np.array(
             [camera.u_min, camera.u_max, camera.v_min, camera.v_max], np.float32
         )
+
+    @property
+    def desc_dist_th(self) -> float:
+        if self.dyn_config is not None:
+            return self.dyn_config.descriptor_distance_th
+        return float(Parameters.kMaxOrbDistanceSearchByReproj)
 
     # ------------------------------------------------------------ utilities
     def _pose_optimize(self, frame: Frame, pids: np.ndarray, kp_idxs: np.ndarray):
@@ -176,7 +189,7 @@ class Tracking:
                 jnp.asarray(self._ib),
                 jnp.asarray(self.tracker.scale_factors),
                 float(radius),
-                float(Parameters.kMaxOrbDistanceSearchByReproj),
+                float(self.desc_dist_th),
                 ratio=0.9,
             )
             kp_match = np.asarray(kp_match)
@@ -252,7 +265,7 @@ class Tracking:
             jnp.asarray(self._ib),
             jnp.asarray(self.tracker.scale_factors),
             float(Parameters.kMaxReprojectionDistanceMap),
-            float(Parameters.kMaxOrbDistanceSearchByReproj),
+            float(self.desc_dist_th),
             ratio=Parameters.kMatchRatioTestMap,
         )
         kp_match = np.asarray(kp_match)
@@ -265,8 +278,14 @@ class Tracking:
             return 0
         n_inl = self._pose_optimize(f_cur, pids, kp_idxs)
         # found statistics
-        good_pids, _ = self._assigned(f_cur)
+        good_pids, good_kps = self._assigned(f_cur)
         st.n_found[good_pids] += 1
+        # adapt the descriptor gate to this frame's accepted matches
+        if self.dyn_config is not None and len(good_pids) >= 10:
+            from pyslam_tpu.slam.slam_dynamic_config import hamming_rows
+
+            d = hamming_rows(st.desc[good_pids], f_cur.des[good_kps])
+            self.dyn_config.update_descriptor_stats(d)
         return n_inl
 
     # ----------------------------------------------------- keyframe decision

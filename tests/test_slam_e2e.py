@@ -80,3 +80,25 @@ def test_mono_slam_synthetic():
     # monocular: align with scale
     res = eval_ate(ts, poses[:, :3, 3], gt_t, ds.poses[:, :3, 3], with_scale=True)
     assert res.rmse < 0.3, res
+
+
+def test_dynamic_descriptor_threshold():
+    from pyslam_tpu.slam.slam_dynamic_config import SLAMDynamicConfig, hamming_rows
+    import numpy as np
+
+    cfg = SLAMDynamicConfig(initial_th=64.0, min_th=20.0)
+    # tight distance distribution -> threshold adapts downward
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        cfg.update_descriptor_stats(rng.normal(12.0, 2.0, 200))
+    assert 15.0 < cfg.descriptor_distance_th < 30.0
+    # bland scene: wide distances -> relaxes (but clamped to 1.5x initial)
+    for _ in range(30):
+        cfg.update_descriptor_stats(rng.normal(80.0, 10.0, 200))
+    assert cfg.descriptor_distance_th <= 96.0 + 1e-6
+    assert cfg.descriptor_distance_th > 64.0
+
+    a = np.zeros((4, 256), np.int8)
+    b = a.copy()
+    b[0, :7] = 1
+    assert hamming_rows(a, b).tolist() == [7, 0, 0, 0]
