@@ -154,4 +154,11 @@ def volumetric_integrator_factory(
 
         vol = SemanticTSDFVolume(depth_trunc=depth_trunc, **kw)
         return VolumetricIntegrator(camera, integrator_type, vol)
+    if integrator_type == VolumetricIntegratorType.GAUSSIAN_SPLATTING:
+        from pyslam_tpu.dense.gaussian_splatting_integrator import (
+            GaussianSplattingVolume,
+        )
+
+        vol = GaussianSplattingVolume(depth_trunc=depth_trunc, **kw)
+        return VolumetricIntegrator(camera, integrator_type, vol)
     raise NotImplementedError(f"integrator {integrator_type} not available yet")

@@ -88,6 +88,12 @@ def eval_ate(
         return ATEResult(np.inf, np.inf, np.inf, np.inf, np.inf, len(ia), 1.0)
     A = np.asarray(p_est)[ia]
     B = np.asarray(p_gt)[ib]
+    # drop non-finite estimates (a diverged pose must degrade the metric via
+    # n, not crash the SVD alignment)
+    finite = np.isfinite(A).all(axis=1) & np.isfinite(B).all(axis=1)
+    if finite.sum() < 3:
+        return ATEResult(np.inf, np.inf, np.inf, np.inf, np.inf, int(finite.sum()), 1.0)
+    A, B = A[finite], B[finite]
     if align:
         s, R, t = umeyama_np(A, B, with_scale)
         A = s * A @ R.T + t

@@ -395,6 +395,9 @@ class LocalMapping:
         )
         new_poses = np.asarray(new_poses, np.float64)
         new_points = np.asarray(new_points, np.float64)
+        if not (np.isfinite(new_poses).all() and np.isfinite(new_points).all()):
+            Printer.red("LBA diverged (non-finite result): discarding update")
+            return
 
         # outlier observation pruning (post-BA chi2, reference removes edges)
         inlier_mask = np.asarray(optim.ba_outlier_mask(

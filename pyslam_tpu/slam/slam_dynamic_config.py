@@ -19,9 +19,9 @@ class SLAMDynamicConfig:
     def __init__(
         self,
         initial_th: float | None = None,
-        mad_k: float = 3.0,
+        mad_k: float = 4.0,
         alpha: float = 0.3,
-        min_th: float = 20.0,
+        min_th: float | None = None,
         max_th: float | None = None,
     ):
         base = (
@@ -32,7 +32,10 @@ class SLAMDynamicConfig:
         self.descriptor_distance_th = float(base)
         self.mad_k = mad_k
         self.alpha = alpha
-        self.min_th = min_th
+        # floor well above typical true-match distances: the stats come from
+        # ACCEPTED matches (biased tight), so an unbounded adaptive gate
+        # ratchets down until tracking starves — the reference clamps too
+        self.min_th = min_th if min_th is not None else 0.65 * float(base)
         self.max_th = max_th if max_th is not None else 1.5 * float(base)
 
     def update_descriptor_stats(self, dists: np.ndarray) -> float:

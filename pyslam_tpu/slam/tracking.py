@@ -141,9 +141,14 @@ class Tracking:
             jnp.asarray(self.camera.K, jnp.float32),
             bf=self.camera.bf,
         )
+        T_opt = np.asarray(T_opt)
+        if not np.isfinite(T_opt).all():
+            # diverged LM (degenerate geometry in f32): keep the predicted
+            # pose and report zero inliers instead of poisoning the map
+            return 0
         inliers = np.asarray(inliers)[: len(pids)]
         n_inl = int(inliers.sum())
-        frame.update_pose(np.asarray(T_opt))
+        frame.update_pose(T_opt)
         frame.outliers[kp_idxs] = ~inliers
         # drop outlier assignments (reference clears f.points on outliers)
         bad = kp_idxs[~inliers]

@@ -86,12 +86,12 @@ def test_dynamic_descriptor_threshold():
     from pyslam_tpu.slam.slam_dynamic_config import SLAMDynamicConfig, hamming_rows
     import numpy as np
 
-    cfg = SLAMDynamicConfig(initial_th=64.0, min_th=20.0)
+    cfg = SLAMDynamicConfig(initial_th=64.0)
     # tight distance distribution -> threshold adapts downward
     rng = np.random.default_rng(0)
     for _ in range(30):
         cfg.update_descriptor_stats(rng.normal(12.0, 2.0, 200))
-    assert 15.0 < cfg.descriptor_distance_th < 30.0
+    assert 40.0 <= cfg.descriptor_distance_th < 50.0
     # bland scene: wide distances -> relaxes (but clamped to 1.5x initial)
     for _ in range(30):
         cfg.update_descriptor_stats(rng.normal(80.0, 10.0, 200))
