@@ -67,9 +67,28 @@ class FeatureMatcher:
         )
 
 
+class LightGlueFeatureMatcher(FeatureMatcher):
+    """Attention matcher over (descriptors + keypoint coords); falls back to
+    ratio-test BF for calls that only carry descriptors (stereo rows etc.)."""
+
+    def __init__(self, norm=NormType.L2, input_dim: int = 256,
+                 checkpoint: str | None = None, **kw):
+        super().__init__(norm=norm, matcher_type=FeatureMatcherTypes.LIGHTGLUE, **kw)
+        from pyslam_tpu.models.lightglue import LightGlueMatcher
+
+        self.glue = LightGlueMatcher(input_dim=input_dim, checkpoint=checkpoint)
+
+    def match_features(self, f1, f2, image_wh=(640.0, 480.0)):
+        """FeatureData x FeatureData -> (idx2_for_each_1 with -1, conf)."""
+        return self.glue.match(f1, f2, image_wh=image_wh)
+
+
 def feature_matcher_factory(
     norm: NormType = NormType.HAMMING,
     matcher_type: FeatureMatcherTypes = FeatureMatcherTypes.BF,
     **kw,
 ) -> FeatureMatcher:
+    if matcher_type == FeatureMatcherTypes.LIGHTGLUE:
+        kw.pop("max_distance", None)
+        return LightGlueFeatureMatcher(norm=norm, **kw)
     return FeatureMatcher(norm=norm, matcher_type=matcher_type, **kw)

@@ -107,6 +107,24 @@ class FeatureTrackerConfigs:
         num_levels=1,
         ratio_test=0.8,
     )
+    LIGHTGLUE = FeatureTrackerConfig(
+        name="LIGHTGLUE",  # SuperPoint + LightGlue (reference preset name)
+        detector_type=FeatureDetectorTypes.SUPERPOINT,
+        descriptor_type=FeatureDescriptorTypes.SUPERPOINT,
+        tracker_type=FeatureTrackerTypes.LIGHTGLUE,
+        num_features=1000,
+        num_levels=1,
+        extra={"desc_dim": 256},
+    )
+    XFEAT_LIGHTGLUE = FeatureTrackerConfig(
+        name="XFEAT_LIGHTGLUE",
+        detector_type=FeatureDetectorTypes.XFEAT,
+        descriptor_type=FeatureDescriptorTypes.XFEAT,
+        tracker_type=FeatureTrackerTypes.LIGHTGLUE,
+        num_features=2000,
+        num_levels=1,
+        extra={"desc_dim": 64},
+    )
 
     @staticmethod
     def get(name: str) -> FeatureTrackerConfig:
@@ -146,17 +164,26 @@ class FeatureTracker:
             raise ValueError(f"detector not supported: {config.detector_type}")
 
         info = FEATURE_INFO.get(config.descriptor_type)
-        mtype = (
-            FeatureMatcherTypes.NN
-            if config.tracker_type == FeatureTrackerTypes.DES_NN
-            else FeatureMatcherTypes.BF
-        )
-        self.matcher = feature_matcher_factory(
-            norm=self.norm,
-            matcher_type=mtype,
-            max_distance=info.max_distance if info else None,
-            ratio_test=config.ratio_test,
-        )
+        if config.tracker_type == FeatureTrackerTypes.LIGHTGLUE:
+            mtype = FeatureMatcherTypes.LIGHTGLUE
+        elif config.tracker_type == FeatureTrackerTypes.DES_NN:
+            mtype = FeatureMatcherTypes.NN
+        else:
+            mtype = FeatureMatcherTypes.BF
+        if mtype == FeatureMatcherTypes.LIGHTGLUE:
+            self.matcher = feature_matcher_factory(
+                norm=self.norm,
+                matcher_type=mtype,
+                input_dim=int(config.extra.get("desc_dim", 256)),
+                checkpoint=config.extra.get("matcher_checkpoint"),
+            )
+        else:
+            self.matcher = feature_matcher_factory(
+                norm=self.norm,
+                matcher_type=mtype,
+                max_distance=info.max_distance if info else None,
+                ratio_test=config.ratio_test,
+            )
         self.scale_factors = self.extractor.scale_factors
         self.sigma2 = self.extractor.sigma2
         self.inv_sigma2 = 1.0 / self.sigma2
@@ -168,10 +195,13 @@ class FeatureTracker:
     # matching ------------------------------------------------------------
     def match(self, f1: FeatureData, f2: FeatureData, ratio=None):
         """Match two FeatureData; returns (idx1, idx2) integer arrays."""
-        idx2, dist = self.matcher.match(
-            f1.desc, f2.desc, valid1=f1.valid, valid2=f2.valid, ratio=ratio
-        )
-        idx2 = np.asarray(idx2)
+        if hasattr(self.matcher, "match_features"):
+            idx2, _conf = self.matcher.match_features(f1, f2)
+        else:
+            idx2, dist = self.matcher.match(
+                f1.desc, f2.desc, valid1=f1.valid, valid2=f2.valid, ratio=ratio
+            )
+            idx2 = np.asarray(idx2)
         idx1 = np.nonzero(idx2 >= 0)[0]
         return idx1, idx2[idx1]
 

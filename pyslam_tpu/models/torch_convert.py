@@ -167,3 +167,52 @@ def _check_shapes(built, template, path=""):
             want = np.asarray(v).shape
             if got != want:
                 raise ValueError(f"shape mismatch at {key}: torch {got} vs flax {want}")
+
+
+# ----------------------------------------------------- generic dotted-name
+def generic_from_torch(state_dict, template):
+    """Map a torch module whose submodules are named EXACTLY like the flax
+    tree path (dots for slashes) onto the flax params.
+
+    Leaf conventions: Dense ``kernel`` <- ``<path>.weight`` transposed;
+    ``bias`` <- ``<path>.bias``; LayerNorm ``scale`` <- ``<path>.weight``;
+    bare parameters (e.g. ``rotary_w``) <- same dotted name.  Used for the
+    LightGlue-class matcher where torch twins follow our module naming.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def build(tree, path=""):
+        out = {}
+        for k, v in tree.items():
+            # the top-level flax collection wrapper has no torch counterpart
+            p = path if (path == "" and k == "params") else (
+                f"{path}.{k}" if path else str(k)
+            )
+            if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
+                out[k] = build(dict(v), p)
+                continue
+            want = np.asarray(v).shape
+            if k == "kernel":
+                w = sd[f"{path}.weight"]
+                out[k] = w.T if w.T.shape == want else _t2f_conv(w)
+            elif k == "scale":
+                out[k] = sd[f"{path}.weight"]
+            elif k == "bias":
+                out[k] = sd[f"{path}.bias"]
+            else:
+                out[k] = sd[p]
+            if np.asarray(out[k]).shape != want:
+                raise ValueError(
+                    f"shape mismatch at {p}: {np.asarray(out[k]).shape} vs {want}"
+                )
+        return out
+
+    return _freeze(build(dict(template)))
+
+
+def lightglue_from_torch_file(path: str, params_template):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    return generic_from_torch(sd, params_template)
