@@ -91,3 +91,30 @@ def test_learned_models_run(rng):
     out = seg.infer(img)
     assert out["labels"].shape == (96, 128)
     assert out["probs"].shape == (96, 128, 7)
+
+
+def test_semantic_eval_metrics():
+    import numpy as np
+
+    from pyslam_tpu.semantics.semantic_eval import (
+        confusion_matrix, evaluate_labels,
+    )
+
+    gt = np.array([[0, 0, 1, 1], [2, 2, 1, 1]])
+    pred = np.array([[0, 1, 1, 1], [2, 2, 0, 1]])
+    cm = confusion_matrix(pred, gt, 3)
+    assert cm.sum() == 8
+    assert cm[0, 0] == 1 and cm[0, 1] == 1  # one gt-0 misread as 1
+    res = evaluate_labels(pred, gt, 3)
+    # per-class: 0: inter1/union3, 1: inter3/union5, 2: inter2/union2
+    assert abs(res.per_class_iou[0] - 1 / 3) < 1e-9
+    assert abs(res.per_class_iou[1] - 3 / 5) < 1e-9
+    assert abs(res.per_class_iou[2] - 1.0) < 1e-9
+    assert abs(res.pixel_accuracy - 6 / 8) < 1e-9
+    assert abs(res.miou - np.mean([1 / 3, 3 / 5, 1.0])) < 1e-9
+
+    # ignore_label masks pixels out
+    gt2 = gt.copy()
+    gt2[0, 0] = -1
+    res2 = evaluate_labels(pred, gt2, 3, ignore_label=-1)
+    assert res2.num_evaluated == 7
