@@ -84,6 +84,7 @@ class Parameters:
     kLoopClosingTh2 = 10.0
     kLoopClosingMaxFramesBetweenDetections = 10
     kLoopDetectionMinFramesAfterLastDetection = 10
+    kLoopDetectionMinKeyframeDistance = 10  # candidate must be >= N keyframes old (temporal gate)
     kSim3SolverRansacIterations = 300
     kSim3SolverMinInliers = 20
     kUseEssentialGraphPGO = True

@@ -210,6 +210,11 @@ class LoopClosing:
             cand = self.map.keyframes.get(cand_kid)
             if cand is None or cand.is_bad:
                 continue
+            # temporal gate: a candidate a few keyframes old is re-detection
+            # of the local neighborhood, not a loop — correcting against it is
+            # degenerate (observed: adjacent-KF 'loop' whose Sim3/PGO blew up)
+            if kf.kid - cand_kid < Parameters.kLoopDetectionMinKeyframeDistance:
+                continue
             ok, S12, matches = self.geometry_check(kf, cand)
             if ok:
                 Printer.green(
@@ -395,6 +400,9 @@ class LoopClosing:
 
         # corrected Sim3 of the current keyframe: Scw_cur = S12 * Scw_cand
         S_cand = self._se3_to_S(cand.Tcw)
+        if not np.isfinite(S12).all():
+            Printer.red("loop correction skipped: non-finite Sim3")
+            return
         S_cur_corrected = S12 @ S_cand
 
         # current covisibility group (+ itself)
@@ -565,6 +573,9 @@ class LoopClosing:
             fix_scale=self.sensor_type != SensorType.MONOCULAR,
         )
         S_opt = np.asarray(S_opt)
+        if not np.isfinite(S_opt).all():
+            Printer.red("PGO diverged (non-finite poses): discarding correction")
+            return
 
         # write back: points corrected by their reference KF's delta
         st = m.points

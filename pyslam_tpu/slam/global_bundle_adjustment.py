@@ -71,6 +71,11 @@ def global_bundle_adjustment(m: Map, camera, feature_tracker, iters=None,
         new_poses, new_points, cost = optim.bundle_adjust(problem, iters=iters)
     new_poses = np.asarray(new_poses, np.float64)
     new_points = np.asarray(new_points, np.float64)
+    if not (np.isfinite(new_poses).all() and np.isfinite(new_points).all()):
+        from pyslam_tpu.utils.logging import Printer
+
+        Printer.red("GBA diverged (non-finite result): discarding update")
+        return float("inf")
     for i, kid in enumerate(kids):
         if i > 0:
             m.keyframes[kid].update_pose(new_poses[i])

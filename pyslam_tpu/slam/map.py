@@ -245,9 +245,6 @@ class Map:
     def update_point_descriptors_and_normals(self, pids):
         """Recompute best descriptor (min-median-distance, reference
         map_point.py best-descriptor update) and mean viewing direction."""
-        from pyslam_tpu.ops import hamming
-        import jax.numpy as jnp
-
         st = self.points
         for pid in np.atleast_1d(pids):
             pid = int(pid)
@@ -270,9 +267,10 @@ class Map:
                 continue
             D = np.stack(descs)
             if len(descs) > 2:
-                dm = np.asarray(
-                    hamming.hamming_distance_matrix(jnp.asarray(D), jnp.asarray(D))
-                )
+                # tiny (n_obs x n_obs) distance matrix: HOST numpy — a device
+                # dispatch per map point would dominate local mapping time
+                dd = D.astype(np.int16)
+                dm = np.abs(dd[:, None, :] - dd[None, :, :]).sum(-1)
                 best = int(np.argmin(np.median(dm, axis=1)))
             else:
                 best = 0
