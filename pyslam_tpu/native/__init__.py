@@ -82,6 +82,12 @@ def get_lib():
     lib.og_points_seen_by.restype = ctypes.c_int32
     lib.og_total_observations.argtypes = [ctypes.c_void_p]
     lib.og_total_observations.restype = ctypes.c_int64
+    lib.og_collect_observations.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.og_collect_observations.restype = ctypes.c_int64
     lib.hamming_distance_matrix_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
@@ -144,6 +150,25 @@ class NativeObsGraph:
             cap,
         )
         return {int(k): int(c) for k, c in zip(kids[:m], counts[:m])}
+
+    def collect_observations(self, pids) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Bulk (pt_row, kid, kp_idx) edge list over the given point ids —
+        the BA problem assembly primitive (one C pass, no Python loop)."""
+        pids = np.ascontiguousarray(pids, np.int64)
+        cap = max(64, len(pids) * 32)
+        pr = np.zeros(cap, np.int64)
+        kd = np.zeros(cap, np.int32)
+        kp = np.zeros(cap, np.int32)
+        m = self._lib.og_collect_observations(
+            self._h,
+            pids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(pids),
+            pr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            kd.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            kp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap,
+        )
+        return pr[:m].copy(), kd[:m].copy(), kp[:m].copy()
 
     def points_seen_by(self, kid: int, cap: int = 1 << 16) -> np.ndarray:
         out = np.zeros(cap, np.int64)

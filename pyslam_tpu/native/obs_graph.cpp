@@ -136,6 +136,28 @@ int32_t og_points_seen_by(void* h, int32_t kid, int64_t* out_pids,
   return n;
 }
 
+int64_t og_collect_observations(void* h, const int64_t* pids, int32_t n,
+                                int64_t* out_pid_row, int32_t* out_kid,
+                                int32_t* out_kp, int64_t cap) {
+  // Bulk edge dump for BA problem assembly (the reference builds this edge
+  // list in C++ too, optimizer_g2o.cpp): for each input point row i, emit
+  // (i, kid, kp_idx) for every observation.  One pass, no Python loop.
+  auto* g = static_cast<ObsGraph*>(h);
+  int64_t m = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    auto pit = g->obs.find(pids[i]);
+    if (pit == g->obs.end()) continue;
+    for (auto& kv : pit->second) {
+      if (m >= cap) return m;
+      out_pid_row[m] = i;
+      out_kid[m] = kv.first;
+      out_kp[m] = kv.second;
+      ++m;
+    }
+  }
+  return m;
+}
+
 int64_t og_total_observations(void* h) {
   auto* g = static_cast<ObsGraph*>(h);
   int64_t t = 0;

@@ -317,6 +317,55 @@ class LocalMapping:
         )
         self.map.update_connections(kf)
 
+    def _collect_ba_observations(self, local_pids, kid_to_row, all_kids):
+        """BA edge-list assembly: (cam_idx, pt_idx, uv, ur, sigma2) arrays.
+
+        The edge dump comes from the native C++ observation graph in one pass
+        (``og_collect_observations``; pure-Python fallback otherwise); the
+        per-observation measurements are then VECTORIZED gathers from per-
+        keyframe arrays stacked along a camera axis — no Python loop over
+        observations (the reference assembles these edges in C++ too,
+        ``optimizer_g2o.cpp``)."""
+        m = self.map
+        if m._native is not None:
+            pt_rows, kids_arr, kp_arr = m._native.collect_observations(local_pids)
+        else:
+            pt_l, kid_l, kp_l = [], [], []
+            for i, pid in enumerate(local_pids):
+                for kid, kp_idx in m.observations.get(int(pid), {}).items():
+                    pt_l.append(i)
+                    kid_l.append(kid)
+                    kp_l.append(kp_idx)
+            pt_rows = np.asarray(pt_l, np.int64)
+            kids_arr = np.asarray(kid_l, np.int32)
+            kp_arr = np.asarray(kp_l, np.int32)
+        if len(pt_rows) == 0:
+            return (np.zeros(0, np.int32),) * 2 + (
+                np.zeros((0, 2), np.float32), np.zeros(0, np.float32),
+                np.zeros(0, np.float32),
+            )
+
+        max_kid = max(kid_to_row)
+        lut = np.full(max_kid + 1, -1, np.int32)
+        for kid, row in kid_to_row.items():
+            lut[kid] = row
+        ok = kids_arr <= max_kid
+        cam = np.where(ok, lut[np.clip(kids_arr, 0, max_kid)], -1)
+        ok &= cam >= 0
+        pt_rows, kp_arr, cam = pt_rows[ok], kp_arr[ok], cam[ok]
+
+        kps_stack = np.stack([m.keyframes[k].kps for k in all_kids])
+        ur_stack = np.stack([m.keyframes[k].kps_ur for k in all_kids])
+        lvl_stack = np.stack([m.keyframes[k].levels for k in all_kids])
+        uv = kps_stack[cam, kp_arr]
+        ur = ur_stack[cam, kp_arr]
+        sig2 = self.tracker.sigma2[lvl_stack[cam, kp_arr]]
+        return (
+            cam.astype(np.int32), pt_rows.astype(np.int32),
+            uv.astype(np.float32), ur.astype(np.float32),
+            sig2.astype(np.float32),
+        )
+
     # ------------------------------------------------------------ local BA
     def local_bundle_adjustment(self, kf: KeyFrame):
         """Covisibility-window Schur LM (reference ``optimizer_g2o.py:614``)."""
@@ -339,17 +388,9 @@ class LocalMapping:
         kid_to_row = {kid: i for i, kid in enumerate(all_kids)}
         pid_to_row = {int(p): i for i, p in enumerate(local_pids)}
 
-        cam_idx, pt_idx, uvs, urs, sig2 = [], [], [], [], []
-        for pid in local_pids:
-            for kid, kp_idx in self.map.observations.get(int(pid), {}).items():
-                kf_o = self.map.keyframes.get(kid)
-                if kf_o is None or kid not in kid_to_row:
-                    continue
-                cam_idx.append(kid_to_row[kid])
-                pt_idx.append(pid_to_row[int(pid)])
-                uvs.append(kf_o.kps[kp_idx])
-                urs.append(kf_o.kps_ur[kp_idx])
-                sig2.append(self.tracker.sigma2[kf_o.levels[kp_idx]])
+        cam_idx, pt_idx, uvs, urs, sig2 = self._collect_ba_observations(
+            local_pids, kid_to_row, all_kids
+        )
         if len(cam_idx) < 20:
             return
 
