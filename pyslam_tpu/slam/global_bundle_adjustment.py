@@ -24,17 +24,33 @@ def build_full_problem(m: Map, camera, feature_tracker, loop_kf_id=None):
     pids = m.points.alive_ids()
     pid_to_row = {int(p): i for i, p in enumerate(pids)}
 
-    cam_idx, pt_idx, uvs, urs, sig2 = [], [], [], [], []
-    for pid in pids:
-        for kid, kp_idx in m.observations.get(int(pid), {}).items():
-            kf = m.keyframes.get(kid)
-            if kf is None:
-                continue
-            cam_idx.append(kid_to_row[kid])
-            pt_idx.append(pid_to_row[int(pid)])
-            uvs.append(kf.kps[kp_idx])
-            urs.append(kf.kps_ur[kp_idx])
-            sig2.append(feature_tracker.sigma2[kf.levels[kp_idx]])
+    # bulk edge dump (native C++ graph when available) + vectorized gathers
+    if m._native is not None:
+        pt_rows, kids_arr, kp_arr = m._native.collect_observations(pids)
+    else:
+        pt_l, kid_l, kp_l = [], [], []
+        for i, pid in enumerate(pids):
+            for kid, kp_idx in m.observations.get(int(pid), {}).items():
+                pt_l.append(i)
+                kid_l.append(kid)
+                kp_l.append(kp_idx)
+        pt_rows = np.asarray(pt_l, np.int64)
+        kids_arr = np.asarray(kid_l, np.int32)
+        kp_arr = np.asarray(kp_l, np.int32)
+    max_kid = max(kids) if kids else 0
+    lut = np.full(max_kid + 1, -1, np.int32)
+    for kid, row in kid_to_row.items():
+        lut[kid] = row
+    ok = kids_arr <= max_kid
+    cam_idx = np.where(ok, lut[np.clip(kids_arr, 0, max_kid)], -1)
+    ok &= cam_idx >= 0
+    pt_idx, kp_arr, cam_idx = pt_rows[ok], kp_arr[ok], cam_idx[ok]
+    kps_stack = np.stack([m.keyframes[k].kps for k in kids])
+    ur_stack = np.stack([m.keyframes[k].kps_ur for k in kids])
+    lvl_stack = np.stack([m.keyframes[k].levels for k in kids])
+    uvs = kps_stack[cam_idx, kp_arr]
+    urs = ur_stack[cam_idx, kp_arr]
+    sig2 = feature_tracker.sigma2[lvl_stack[cam_idx, kp_arr]]
 
     poses = np.stack([m.keyframes[k].Tcw for k in kids])
     fixed = np.zeros(len(kids), bool)
@@ -45,7 +61,7 @@ def build_full_problem(m: Map, camera, feature_tracker, loop_kf_id=None):
         points=jnp.asarray(m.points.pos[pids], jnp.float32),
         cam_idx=jnp.asarray(cam_idx, jnp.int32),
         pt_idx=jnp.asarray(pt_idx, jnp.int32),
-        uv=jnp.asarray(np.stack(uvs), jnp.float32),
+        uv=jnp.asarray(uvs, jnp.float32),
         ur=jnp.asarray(urs, jnp.float32),
         sigma2=jnp.asarray(sig2, jnp.float32),
         valid=jnp.ones((len(cam_idx),), bool),
