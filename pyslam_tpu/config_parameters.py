@@ -129,6 +129,7 @@ class Parameters:
     kUseSemanticMapping = False
     kLogKFinfoToFile = False
     kUseDynamicDesDistanceTh = True         # adaptive descriptor threshold (MAD stats)
+    kUseFusedTrackingStep = True            # one-dispatch OK-path tracking (ops/fused_tracking.py)
 
     # ---------------------------------------------------------------- TPU
     kDeviceMatchTileSize = 512              # pallas tile for distance kernels

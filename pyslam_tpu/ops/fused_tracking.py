@@ -1,0 +1,111 @@
+"""Fully-fused per-frame tracking step: ONE device dispatch for the OK path.
+
+Composes the stages of ``Tracking.track`` (reference call stack SURVEY §3.1:
+search_frame_by_projection -> pose opt #1 -> search_map_by_projection ->
+pose opt #2) into a single jitted graph.  Rationale: on a remote-TPU tunnel
+each dispatch/readback costs ~3-12 ms of RPC latency; the legacy path makes
+~8 device round trips per frame, this one makes 1 dispatch + 2 readbacks.
+
+The widening-radius retry of the reference's ``track_previous_frame``
+(tracking.py:351-476) is computed in-graph: both radii are searched and the
+wide result is selected when the narrow one found too few matches (compute
+is cheap, control flow on host would cost a round trip).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pyslam_tpu.ops import optim
+from pyslam_tpu.ops.slam_matching import search_by_projection
+
+
+@functools.partial(jax.jit, static_argnames=("min_prev_matches",))
+def track_frame_fused(
+    # frame side (N fixed)
+    kps: jnp.ndarray,            # (N,2)
+    kp_level: jnp.ndarray,       # (N,)
+    kp_des: jnp.ndarray,         # (N,256)
+    kp_valid: jnp.ndarray,       # (N,)
+    kp_ur: jnp.ndarray,          # (N,)
+    # previous frame's tracked points (Mp padded)
+    prev_pos, prev_desc, prev_normal, prev_min_d, prev_max_d, prev_valid,
+    # local-map points (Mm padded)
+    map_pos, map_desc, map_normal, map_min_d, map_max_d, map_valid,
+    # geometry / parameters (traced scalars: no recompiles when they change)
+    Tcw_pred: jnp.ndarray,
+    K: jnp.ndarray,
+    image_bounds: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    sigma2_table: jnp.ndarray,   # (L,) per-level variance
+    bf: jnp.ndarray,
+    radius_frame: jnp.ndarray,
+    radius_frame_wide: jnp.ndarray,
+    radius_map: jnp.ndarray,
+    desc_th: jnp.ndarray,
+    ratio_map: jnp.ndarray,
+    min_prev_matches: int = 20,
+):
+    """Returns (Tcw_opt, match_code (N,), inlier (N,), n_prev, n_inl1, n_inl2).
+
+    match_code per keypoint: row into prev arrays, or Mp + row into map
+    arrays, or -1.
+    """
+    N = kps.shape[0]
+    Mp = prev_pos.shape[0]
+    Mm = map_pos.shape[0]
+    sigma2 = sigma2_table[jnp.clip(kp_level, 0, sigma2_table.shape[0] - 1)]
+
+    def search_prev(radius):
+        _, kp_match, _ = search_by_projection(
+            prev_pos, prev_desc, prev_normal, prev_min_d, prev_max_d,
+            prev_valid,
+            kps, kp_level, kp_des, kp_valid, kp_ur,
+            Tcw_pred, K, image_bounds, scale_factors,
+            radius, desc_th, ratio=0.9,
+        )
+        return kp_match
+
+    kp_m1 = search_prev(radius_frame)
+    n1 = jnp.sum(kp_m1 >= 0)
+    kp_m2 = search_prev(radius_frame_wide)
+    kp_match_prev = jnp.where(n1 >= min_prev_matches, kp_m1, kp_m2)
+    n_prev = jnp.sum(kp_match_prev >= 0)
+
+    # pose optimization #1 against prev-frame points
+    has1 = (kp_match_prev >= 0) & kp_valid
+    pts1 = prev_pos[jnp.clip(kp_match_prev, 0, Mp - 1)]
+    T1, inl1, n_inl1 = optim.pose_optimization(
+        Tcw_pred, pts1, kps, kp_ur, sigma2, has1, K, bf=bf,
+    )
+    keep_prev = has1 & inl1
+
+    # local-map search from the refined pose
+    _, kp_match_map, _ = search_by_projection(
+        map_pos, map_desc, map_normal, map_min_d, map_max_d, map_valid,
+        kps, kp_level, kp_des, kp_valid, kp_ur,
+        T1, K, image_bounds, scale_factors,
+        radius_map, desc_th, ratio=ratio_map,
+    )
+    use_map = (kp_match_map >= 0) & ~keep_prev & kp_valid
+
+    pts2 = jnp.where(
+        keep_prev[:, None], pts1,
+        map_pos[jnp.clip(kp_match_map, 0, Mm - 1)],
+    )
+    valid2 = keep_prev | use_map
+    T2, inl2, n_inl2 = optim.pose_optimization(
+        T1, pts2, kps, kp_ur, sigma2, valid2, K, bf=bf,
+    )
+
+    match_code = jnp.where(
+        keep_prev, kp_match_prev,
+        jnp.where(use_map, Mp + kp_match_map, -1),
+    ).astype(jnp.int32)
+    # pack per-kp outputs into ONE int32 buffer for a single readback
+    packed = jnp.stack([match_code, inl2.astype(jnp.int32)], axis=1)
+    counts = jnp.stack([n_prev, n_inl1, n_inl2]).astype(jnp.int32)
+    return T2, packed, counts

@@ -293,6 +293,95 @@ class Tracking:
             self.dyn_config.update_descriptor_stats(d)
         return n_inl
 
+    # ------------------------------------------------------ fused OK path
+    def track_fused(self, f_prev: Frame, f_cur: Frame):
+        """One-dispatch tracking step (ops/fused_tracking.py): projection
+        search vs prev + pose opt #1 + local-map search + pose opt #2 in a
+        single jitted graph — ~8 device round trips collapse to 1 dispatch +
+        2 readbacks.  Returns (n_prev_matches, n_inl1, n_inl2) or None when
+        prerequisites are missing (caller falls back to the legacy path)."""
+        from pyslam_tpu.ops.fused_tracking import track_frame_fused
+
+        st = self.map.points
+        pids_prev, _ = self._assigned(f_prev)
+        if len(pids_prev) == 0 or self.kf_ref is None:
+            return None
+        pids_prev = self.map.resolve_replacements(pids_prev)
+        pids_prev = pids_prev[
+            (pids_prev >= 0) & st.valid[np.clip(pids_prev, 0, None)]
+        ]
+        kids = self.map.get_local_keyframes(self.kf_ref)
+        local_pids = self.map.get_local_map_points(kids)
+        if len(pids_prev) < 10 or len(local_pids) == 0:
+            return None
+        st.n_visible[local_pids] += 1
+
+        prev_pos, prev_valid = pad_bucket(st.pos[pids_prev])
+        mp = len(prev_valid)
+        map_pos, map_valid = pad_bucket(st.pos[local_pids])
+        mm = len(map_valid)
+
+        T2, packed, counts = track_frame_fused(
+            jnp.asarray(f_cur.kps), jnp.asarray(f_cur.levels),
+            jnp.asarray(f_cur.des), jnp.asarray(f_cur.valid),
+            jnp.asarray(f_cur.kps_ur),
+            jnp.asarray(prev_pos, jnp.float32),
+            jnp.asarray(pad_rows(st.desc[pids_prev], mp)),
+            jnp.asarray(pad_rows(st.normal[pids_prev], mp)),
+            jnp.asarray(pad_rows(st.min_dist[pids_prev], mp)),
+            jnp.asarray(pad_rows(st.max_dist[pids_prev], mp, fill=1.0)),
+            jnp.asarray(prev_valid),
+            jnp.asarray(map_pos, jnp.float32),
+            jnp.asarray(pad_rows(st.desc[local_pids], mm)),
+            jnp.asarray(pad_rows(st.normal[local_pids], mm)),
+            jnp.asarray(pad_rows(st.min_dist[local_pids], mm)),
+            jnp.asarray(pad_rows(st.max_dist[local_pids], mm, fill=1.0)),
+            jnp.asarray(map_valid),
+            jnp.asarray(f_cur.Tcw, jnp.float32),
+            jnp.asarray(self.camera.K, jnp.float32),
+            jnp.asarray(self._ib),
+            jnp.asarray(self.tracker.scale_factors),
+            jnp.asarray(self.tracker.sigma2, jnp.float32),
+            jnp.asarray(self.camera.bf, jnp.float32),
+            jnp.asarray(Parameters.kMaxReprojectionDistanceFrame, jnp.float32),
+            jnp.asarray(Parameters.kMaxReprojectionDistanceFrameWide, jnp.float32),
+            jnp.asarray(Parameters.kMaxReprojectionDistanceMap, jnp.float32),
+            jnp.asarray(self.desc_dist_th, jnp.float32),
+            jnp.asarray(Parameters.kMatchRatioTestMap, jnp.float32),
+            min_prev_matches=Parameters.kMinNumMatchedFeaturesSearchFrameByProjection,
+        )
+        T2 = np.asarray(T2)
+        packed = np.asarray(packed)
+        n_prev, n_inl1, n_inl2 = (int(x) for x in np.asarray(counts))
+        if not np.isfinite(T2).all():
+            return None
+
+        match_code = packed[:, 0]
+        inlier = packed[:, 1] > 0
+        f_cur.points[:] = -1
+        from_prev = (match_code >= 0) & (match_code < mp)
+        from_map = match_code >= mp
+        rows_p = np.clip(match_code, 0, mp - 1)
+        rows_m = np.clip(match_code - mp, 0, mm - 1)
+        ok_p = from_prev & (rows_p < len(pids_prev))
+        ok_m = from_map & (rows_m < len(local_pids))
+        f_cur.points[ok_p] = pids_prev[rows_p[ok_p]]
+        f_cur.points[ok_m] = local_pids[rows_m[ok_m]]
+        f_cur.outliers[:] = False
+        assigned = f_cur.points >= 0
+        f_cur.outliers[assigned & ~inlier] = True
+        f_cur.points[assigned & ~inlier] = -1
+        f_cur.update_pose(T2)
+
+        good_pids, good_kps = self._assigned(f_cur)
+        st.n_found[good_pids] += 1
+        if self.dyn_config is not None and len(good_pids) >= 10:
+            from pyslam_tpu.slam.slam_dynamic_config import hamming_rows
+
+            d = hamming_rows(st.desc[good_pids], f_cur.des[good_kps])
+            self.dyn_config.update_descriptor_stats(d)
+        return n_prev, n_inl1, n_inl2
+
     # ----------------------------------------------------- keyframe decision
     def need_new_keyframe(self, f_cur: Frame) -> bool:
         """ORB-SLAM-style conditions (reference ``tracking.py:761-916``)."""
@@ -411,6 +500,7 @@ class Tracking:
 
         if self.state in (TrackingState.OK, TrackingState.LOST,
                           TrackingState.RELOCALIZE, TrackingState.INIT_RELOCALIZE):
+            fused_ok = False
             if self.state == TrackingState.OK:
                 # 1. predict pose
                 if Parameters.kUseMotionModel and self.motion_model.is_ok:
@@ -418,25 +508,52 @@ class Tracking:
                 else:
                     f_cur.update_pose(self.f_prev.Tcw)
 
-                # 2. frame-to-frame tracking
-                n_matched = 0
-                if Parameters.kUseSearchFrameByProjection and self.motion_model.is_ok:
-                    n_matched = self.track_previous_frame(self.f_prev, f_cur)
-                if n_matched < Parameters.kMinNumMatchedFeaturesSearchFrameByProjection:
-                    n_matched = self.track_reference_frame(self.kf_ref, f_cur)
-                self.num_matched_kps = n_matched
+                # 2a. fused one-dispatch path (steps 2-4 in one jit graph)
+                if (
+                    Parameters.kUseFusedTrackingStep
+                    and Parameters.kUseSearchFrameByProjection
+                    and self.motion_model.is_ok
+                ):
+                    T_pred = f_cur.Tcw.copy()
+                    out = self.track_fused(self.f_prev, f_cur)
+                    if out is not None:
+                        n_prev, n_inl1, n_inl2 = out
+                        good = n_inl2 >= Parameters.kNumMinInliersTrackLocalMap or (
+                            self.sensor_type == SensorType.MONOCULAR
+                            and n_inl2
+                            >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
+                        )
+                        if good:
+                            self.num_matched_kps = n_prev
+                            self.num_inliers = n_inl2
+                            fused_ok = True
+                        else:
+                            # weak fused result: restore prediction and run
+                            # the legacy path with its fallback chain
+                            f_cur.points[:] = -1
+                            f_cur.outliers[:] = False
+                            f_cur.update_pose(T_pred)
 
-                # 3. pose optimization #1
-                pids, kp_idxs = self._assigned(f_cur)
-                if len(pids) >= Parameters.kMinTrackedFeaturesForPoseOpt:
-                    self.num_inliers = self._pose_optimize(f_cur, pids, kp_idxs)
-                else:
-                    self.num_inliers = 0
+                if not fused_ok:
+                    # 2. frame-to-frame tracking
+                    n_matched = 0
+                    if Parameters.kUseSearchFrameByProjection and self.motion_model.is_ok:
+                        n_matched = self.track_previous_frame(self.f_prev, f_cur)
+                    if n_matched < Parameters.kMinNumMatchedFeaturesSearchFrameByProjection:
+                        n_matched = self.track_reference_frame(self.kf_ref, f_cur)
+                    self.num_matched_kps = n_matched
 
-                if self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
-                    Printer.red(f"tracking failure on frame {frame_id} "
-                                f"(inliers={self.num_inliers})")
-                    self.state = TrackingState.LOST
+                    # 3. pose optimization #1
+                    pids, kp_idxs = self._assigned(f_cur)
+                    if len(pids) >= Parameters.kMinTrackedFeaturesForPoseOpt:
+                        self.num_inliers = self._pose_optimize(f_cur, pids, kp_idxs)
+                    else:
+                        self.num_inliers = 0
+
+                    if self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
+                        Printer.red(f"tracking failure on frame {frame_id} "
+                                    f"(inliers={self.num_inliers})")
+                        self.state = TrackingState.LOST
 
             if self.state in (TrackingState.LOST, TrackingState.RELOCALIZE,
                               TrackingState.INIT_RELOCALIZE):
@@ -459,16 +576,18 @@ class Tracking:
                     self.f_prev = f_cur
                     return f_cur
 
-            # 4. track local map + pose optimization #2
-            n_inl = self.track_local_map(f_cur)
-            if n_inl >= Parameters.kNumMinInliersTrackLocalMap or (
-                self.sensor_type == SensorType.MONOCULAR
-                and n_inl >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
-            ):
-                self.num_inliers = n_inl
-                self.state = TrackingState.OK
-            elif self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
-                self.state = TrackingState.LOST
+            # 4. track local map + pose optimization #2 (already inside the
+            # fused graph when it succeeded)
+            if not fused_ok:
+                n_inl = self.track_local_map(f_cur)
+                if n_inl >= Parameters.kNumMinInliersTrackLocalMap or (
+                    self.sensor_type == SensorType.MONOCULAR
+                    and n_inl >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
+                ):
+                    self.num_inliers = n_inl
+                    self.state = TrackingState.OK
+                elif self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
+                    self.state = TrackingState.LOST
 
             if self.state == TrackingState.OK:
                 self.motion_model.update(f_cur.Tcw, timestamp)
