@@ -85,6 +85,7 @@ class Parameters:
     kLoopClosingMaxFramesBetweenDetections = 10
     kLoopDetectionMinFramesAfterLastDetection = 10
     kLoopDetectionMinKeyframeDistance = 10  # candidate must be >= N keyframes old (temporal gate)
+    kRetainImageForVPR = False              # keep half-res frame copies for learned VPR (NetVLAD-class)
     kSim3SolverRansacIterations = 300
     kSim3SolverMinInliers = 20
     kUseEssentialGraphPGO = True

@@ -55,18 +55,40 @@ class LoopDetector:
         self._train_buffer: list[np.ndarray] = []
         gdt = config.global_descriptor_type
         self.vlad = None
+        self.netvlad = None
         if gdt == GlobalDescriptorType.VLAD:
             from pyslam_tpu.loop_closing.vlad import VladVocabulary
 
             self.vlad = VladVocabulary(num_clusters=config.num_words)
+        if gdt in (GlobalDescriptorType.NETVLAD, GlobalDescriptorType.COSPLACE,
+                   GlobalDescriptorType.EIGENPLACES, GlobalDescriptorType.MEGALOC):
+            # NetVLAD-class learned global descriptor (same score-based DB
+            # path; COSPLACE/EIGENPLACES/MEGALOC currently share the NetVLAD
+            # graph slot until their converters land)
+            from pyslam_tpu.models.netvlad import NetVLADExtractor
+
+            Parameters.kRetainImageForVPR = True
+            self.netvlad = NetVLADExtractor(
+                checkpoint=config.extra.get("checkpoint")
+            )
         self.score_based = gdt in (
             GlobalDescriptorType.VLAD, GlobalDescriptorType.SAD,
+            GlobalDescriptorType.NETVLAD, GlobalDescriptorType.COSPLACE,
+            GlobalDescriptorType.EIGENPLACES, GlobalDescriptorType.MEGALOC,
         )
 
     def describe_frame(self, frame):
         desc = frame.des
         valid = frame.valid
         gdt = self.config.global_descriptor_type
+        if self.netvlad is not None:
+            img = getattr(frame, "img_vpr", None)
+            if img is None:
+                img = getattr(frame, "img_thumb", None)
+            if img is not None:
+                return None, self.netvlad(img)
+            v = np.asarray(desc[valid], np.float32).mean(axis=0)
+            return None, v / max(np.linalg.norm(v), 1e-12)
         if gdt == GlobalDescriptorType.VLAD:
             return None, self.vlad.global_descriptor(desc, valid)
         if gdt == GlobalDescriptorType.SAD:

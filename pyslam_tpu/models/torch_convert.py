@@ -216,3 +216,113 @@ def lightglue_from_torch_file(path: str, params_template):
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
     return generic_from_torch(sd, params_template)
+
+
+# -------------------------------------------------------------------- NetVLAD
+_VGG16_FEATURE_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def netvlad_from_torch(state_dict, params_template):
+    """Map a pytorch-NetVlad checkpoint (``encoder.<i>.weight`` torchvision
+    VGG16 features + ``pool.conv.weight`` soft-assign 1x1 conv +
+    ``pool.centroids``) onto the flax tree.  Accepts optional ``module.``
+    prefixes."""
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k.replace("module.", "")] = _np(v)
+
+    params = {"encoder": {}, "pool": {}}
+    for i, fi in enumerate(_VGG16_FEATURE_IDX):
+        params["encoder"][f"conv_{i}"] = {
+            "kernel": _t2f_conv(sd[f"encoder.{fi}.weight"]),
+            "bias": sd[f"encoder.{fi}.bias"],
+        }
+    # pool.conv: (K, D, 1, 1) -> Dense kernel (D, K)
+    w = sd["pool.conv.weight"]
+    params["pool"] = {
+        "assign": {"kernel": np.ascontiguousarray(w[:, :, 0, 0].T)},
+        "centroids": sd["pool.centroids"],
+    }
+    out = {"params": params}
+    _check_shapes(out, params_template)
+    return _freeze(out)
+
+
+def netvlad_from_torch_file(path: str, params_template):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    return netvlad_from_torch(sd, params_template)
+
+
+# --------------------------------------------------------------------- DUSt3R
+def _dust3r_torch_name(flax_path: str) -> str:
+    """flax tree path (slash-joined, no 'params/') -> official DUSt3R/CroCo
+    state_dict name."""
+    parts = flax_path.split("/")
+    head = parts[0]
+    if head == "patch_embed":
+        return "patch_embed.proj"
+    if head == "enc_norm":
+        return "enc_norm"
+    if head == "dec_norm":
+        return "dec_norm"
+    if head == "decoder_embed":
+        return "decoder_embed"
+    if head == "head1":
+        return "downstream_head1.proj"
+    if head == "head2":
+        return "downstream_head2.proj"
+    if head.startswith("enc_"):
+        i = head.split("_")[1]
+        return f"enc_blocks.{i}." + ".".join(parts[1:])
+    if head.startswith("dec1_"):
+        i = head.split("_")[1]
+        return f"dec_blocks.{i}." + ".".join(parts[1:])
+    if head.startswith("dec2_"):
+        i = head.split("_")[1]
+        return f"dec_blocks2.{i}." + ".".join(parts[1:])
+    raise KeyError(flax_path)
+
+
+def dust3r_from_torch(state_dict, params_template):
+    """Map the official DUSt3R (linear-head) checkpoint onto the flax tree."""
+    sd = {k.replace("module.", ""): _np(v) for k, v in state_dict.items()}
+
+    def build(tree, path=""):
+        out = {}
+        for k, v in tree.items():
+            p = path if (path == "" and k == "params") else (
+                f"{path}/{k}" if path else str(k)
+            )
+            if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
+                out[k] = build(dict(v), p)
+                continue
+            want = np.asarray(v).shape
+            base = _dust3r_torch_name(p.rsplit("/", 1)[0]) if "/" in p else \
+                _dust3r_torch_name(p)
+            if k == "kernel":
+                w = sd[f"{base}.weight"]
+                out[k] = w.T if w.ndim == 2 else _t2f_conv(w)
+            elif k == "scale":
+                out[k] = sd[f"{base}.weight"]
+            elif k == "bias":
+                out[k] = sd[f"{base}.bias"]
+            else:
+                raise KeyError(p)
+            if np.asarray(out[k]).shape != want:
+                raise ValueError(
+                    f"shape mismatch at {p}: {np.asarray(out[k]).shape} vs {want}"
+                )
+        return out
+
+    return _freeze(build(dict(params_template)))
+
+
+def dust3r_from_torch_file(path: str, params_template):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = sd.get("model", sd.get("state_dict", sd)) if isinstance(sd, dict) else sd
+    return dust3r_from_torch(sd, params_template)

@@ -120,6 +120,38 @@ def triangulate_dlt(
     return h[..., :3] / ws[..., None]
 
 
+def triangulate_dlt_np(T1w, T2w, xy1, xy2) -> "np.ndarray":
+    """Float64 HOST twin of ``triangulate_dlt``.
+
+    On the TPU backend a ``jnp.float64`` request silently truncates to f32,
+    and the DLT eigensolve is precision-sensitive — f32 triangulation noise
+    measurably inflates trajectory drift.  Map-point creation is a small
+    batch on the local-mapping path, so the f64 eigensolve runs on host.
+    """
+    import numpy as np
+
+    T1w = np.asarray(T1w, np.float64)
+    T2w = np.asarray(T2w, np.float64)
+    xy1 = np.asarray(xy1, np.float64)
+    xy2 = np.asarray(xy2, np.float64)
+    P1, P2 = T1w[:3, :], T2w[:3, :]
+
+    def rows(P, xy):
+        r0 = xy[..., 0:1] * P[2][None, :] - P[0][None, :]
+        r1 = xy[..., 1:2] * P[2][None, :] - P[1][None, :]
+        return r0, r1
+
+    a0, a1 = rows(P1, xy1)
+    a2, a3 = rows(P2, xy2)
+    A = np.stack([a0, a1, a2, a3], axis=-2)
+    AtA = np.einsum("nij,nik->njk", A, A)
+    _, vecs = np.linalg.eigh(AtA)
+    h = vecs[..., 0]
+    w = h[..., 3]
+    ws = np.where(np.abs(w) < 1e-12, 1e-12, w)
+    return h[..., :3] / ws[..., None]
+
+
 def triangulation_checks(
     pts_w: jnp.ndarray,
     T1w: jnp.ndarray,

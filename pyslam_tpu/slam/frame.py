@@ -53,6 +53,7 @@ class Frame:
         # based place recognition (SAD global descriptor) without holding the
         # full frame in the map
         self.img_thumb = None
+        self.img_vpr = None
         if img is not None:
             a = np.asarray(img, np.float32)
             if a.ndim == 3:
@@ -63,6 +64,9 @@ class Frame:
             self.img_thumb = (
                 a[: gh * ph, : gw * pw].reshape(gh, ph, gw, pw).mean(axis=(1, 3))
             )
+            if Parameters.kRetainImageForVPR:
+                # half-res uint8 copy for learned place recognition backends
+                self.img_vpr = a[::2, ::2].astype(np.uint8)
 
         if features is None and img is not None and feature_tracker is not None:
             features = feature_tracker.detectAndCompute(img)

@@ -103,11 +103,9 @@ class Initializer:
             self._register_failure(f)
             return InitializerOutput(False)
 
-        # triangulate inliers
+        # triangulate inliers (host f64: TPU truncates jnp f64 to f32)
         T1 = jnp.eye(4)
-        pts = np.asarray(
-            geometry.triangulate_dlt(T1, jnp.asarray(T21), jnp.asarray(xy1), jnp.asarray(xy2))
-        )
+        pts = geometry.triangulate_dlt_np(np.eye(4), T21, xy1, xy2)
         sig1 = pad_rows(
             ref.feature_tracker.sigma2[ref.levels[i1]] / cam.fx**2, len(pvalid), 1.0
         )

@@ -201,12 +201,9 @@ class LocalMapping:
             i2p, _ = pad_bucket(i2, fill=i2[0])
             xy1 = np.asarray(cam.unproject_points(kf.kps[i1p]))
             xy2 = np.asarray(cam.unproject_points(kf2.kps[i2p]))
-            pts = np.asarray(
-                geometry.triangulate_dlt(
-                    jnp.asarray(kf.Tcw, jnp.float64), jnp.asarray(kf2.Tcw, jnp.float64),
-                    jnp.asarray(xy1, jnp.float64), jnp.asarray(xy2, jnp.float64),
-                )
-            )
+            # HOST f64 triangulation: on TPU a jnp f64 request truncates to
+            # f32 and the DLT eigensolve noise inflates drift measurably
+            pts = geometry.triangulate_dlt_np(kf.Tcw, kf2.Tcw, xy1, xy2)
             sig1 = self.tracker.sigma2[kf.levels[i1p]] / cam.fx**2
             sig2 = self.tracker.sigma2[kf2.levels[i2p]] / cam.fx**2
             ok = np.array(
