@@ -142,6 +142,30 @@ class TSDFVolume:
         cols = np.asarray(self.table.color)[sel]
         return pts, cols
 
+    def extract_mesh(self, min_weight: float = 1.0):
+        """Zero-isosurface triangle mesh via marching tetrahedra.
+
+        Returns (vertices (M,3), faces (F,3), vertex_colors (M,3) | None) —
+        the reference gets this from Open3D's ScalableTSDFVolume."""
+        from pyslam_tpu.dense.marching import marching_tetrahedra
+
+        occ = np.asarray(self.table.occupied)
+        wt = np.asarray(self.table.weight)
+        sel = occ & (wt >= min_weight)
+        return marching_tetrahedra(
+            np.asarray(self.table.keys)[sel],
+            np.asarray(self.table.tsdf)[sel],
+            colors=np.asarray(self.table.color)[sel],
+            voxel_size=self.voxel_size,
+        )
+
+    def save_mesh(self, path: str, min_weight: float = 1.0):
+        from pyslam_tpu.dense.marching import save_ply
+
+        verts, faces, cols = self.extract_mesh(min_weight)
+        save_ply(path, verts, faces, cols)
+        return len(verts), len(faces)
+
     # ---------------------------------------------------------- persistence
     def save(self, path: str):
         np.savez_compressed(

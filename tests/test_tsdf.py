@@ -118,3 +118,60 @@ def test_integrator_rebuild_replays(rng):
     kf.Twc = np.eye(4)
     integ.rebuild(FakeMap())
     assert abs(integ.volume.num_voxels() - n1) < n1 * 0.2
+
+
+def test_marching_tetrahedra_sphere():
+    """Analytic sphere SDF -> mesh: vertices must lie on the sphere within a
+    voxel, faces must be valid, and the PLY round-trips."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from pyslam_tpu.dense.marching import load_ply, marching_tetrahedra, save_ply
+
+    R, vs = 1.0, 0.1
+    rng_lim = int(R / vs) + 3
+    g = np.arange(-rng_lim, rng_lim + 1)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    keys = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1)
+    centers = (keys + 0.5) * vs
+    sdf = (np.linalg.norm(centers, axis=1) - R) / (3 * vs)  # truncated-ish
+    band = np.abs(sdf) < 1.0
+    keys, sdf = keys[band], np.clip(sdf[band], -1, 1)
+    cols = np.full((len(keys), 3), 200.0)
+
+    verts, faces, vcols = marching_tetrahedra(keys, sdf, cols, voxel_size=vs)
+    assert len(verts) > 200 and len(faces) > 200
+    r = np.linalg.norm(verts, axis=1)
+    assert np.abs(r - R).max() < 1.5 * vs, np.abs(r - R).max()
+    assert faces.min() >= 0 and faces.max() < len(verts)
+    # every face references three distinct vertices
+    assert (faces[:, 0] != faces[:, 1]).all()
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "m.ply")
+        save_ply(p, verts, faces, vcols)
+        v2, f2, c2 = load_ply(p)
+        assert len(v2) == len(verts) and len(f2) == len(faces)
+        np.testing.assert_allclose(v2, verts, atol=1e-4)
+
+
+def test_tsdf_extract_mesh_from_integration(rng):
+    """Integrate a flat wall from synthetic depth; the mesh must be a plane
+    at the right depth."""
+    import numpy as np
+
+    from pyslam_tpu.dense.tsdf import TSDFVolume
+
+    h, w = 64, 80
+    K = np.array([[70.0, 0, 40.0], [0, 70.0, 32.0], [0, 0, 1]], np.float32)
+    depth = np.full((h, w), 2.0, np.float32)
+    gray = np.full((h, w), 128.0, np.float32)
+    vol = TSDFVolume(voxel_size=0.05, sdf_trunc=0.15, capacity=1 << 18)
+    for _ in range(3):
+        vol.integrate(depth, gray, np.eye(4), K)
+    verts, faces, cols = vol.extract_mesh()
+    assert len(verts) > 100 and len(faces) > 100
+    # wall at z=2: all mesh vertices near that plane
+    assert np.abs(verts[:, 2] - 2.0).max() < 0.08, np.abs(verts[:, 2] - 2.0).max()
