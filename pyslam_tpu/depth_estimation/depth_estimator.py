@@ -86,16 +86,30 @@ class DepthEstimatorSgbm(DepthEstimator):
 
 
 class DepthEstimatorDepthAnything(DepthEstimator):
-    def __init__(self, camera=None, checkpoint: str | None = None, **kw):
-        super().__init__(camera, **kw)
-        from pyslam_tpu.models.depth_anything import DepthAnythingInference
+    """DepthAnythingV2 (faithful DINOv2+DPT, models/depth_anything_v2.py)
+    when requested / a checkpoint is supplied; DPT-lite otherwise (smaller
+    graph, useful without weights)."""
 
-        self.model = DepthAnythingInference(checkpoint=checkpoint)
+    def __init__(self, camera=None, checkpoint: str | None = None,
+                 faithful: bool = True, **kw):
+        super().__init__(camera, **kw)
+        if faithful:
+            from pyslam_tpu.models.depth_anything_v2 import DepthAnythingV2
+
+            self.model = DepthAnythingV2(checkpoint=checkpoint)
+        else:
+            from pyslam_tpu.models.depth_anything import DepthAnythingInference
+
+            self.model = DepthAnythingInference(checkpoint=checkpoint)
 
     def infer(self, img, img_right=None):
-        depth = self.model.infer(img)
-        depth = np.clip(depth, 0.0, self.max_depth).astype(np.float32)
-        return depth, self._depth_to_points(depth)
+        rel = self.model.infer(img)
+        # relative (affine-invariant) inverse depth -> metric-ish depth via
+        # the configured max_depth scale (the reference calibrates per
+        # dataset; without calibration we normalize to [0, max_depth])
+        rel = rel / max(float(rel.max()), 1e-9)
+        depth = np.where(rel > 1e-6, self.max_depth * (1.0 - rel), 0.0)
+        return depth.astype(np.float32), self._depth_to_points(depth)
 
 
 def depth_estimator_factory(

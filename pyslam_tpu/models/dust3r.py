@@ -56,7 +56,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default (erf)
         return nn.Dense(self.dim, name="fc2")(x)
 
 

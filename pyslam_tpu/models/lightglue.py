@@ -77,7 +77,7 @@ class GlueLayer(nn.Module):
             h = jnp.concatenate([x, msg], axis=-1)
             h = nn.Dense(2 * self.dim, name=f"{name}_fc1")(h)
             h = nn.LayerNorm(name=f"{name}_ln")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             return x + nn.Dense(self.dim, name=f"{name}_fc2")(h)
 
         x0 = ffn(x0, msg0, "self_ffn0")

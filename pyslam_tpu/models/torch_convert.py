@@ -326,3 +326,136 @@ def dust3r_from_torch_file(path: str, params_template):
     sd = torch.load(path, map_location="cpu", weights_only=False)
     sd = sd.get("model", sd.get("state_dict", sd)) if isinstance(sd, dict) else sd
     return dust3r_from_torch(sd, params_template)
+
+
+# -------------------------------------------------------- DepthAnythingV2
+def depth_anything_v2_from_torch(state_dict, params_template, grid_hw=None):
+    """Map the official DepthAnythingV2 checkpoint (``pretrained.*`` DINOv2
+    encoder + ``depth_head.*`` DPT) onto the flax tree.  The learned position
+    embedding is bilinearly resized from the checkpoint's grid to ours."""
+    sd = {k.replace("module.", ""): _np(v) for k, v in state_dict.items()}
+    t = dict(params_template)["params"]
+    p = {}
+
+    # --- encoder
+    p["patch_embed"] = {
+        "kernel": _t2f_conv(sd["pretrained.patch_embed.proj.weight"]),
+        "bias": sd["pretrained.patch_embed.proj.bias"],
+    }
+    p["cls_token"] = sd["pretrained.cls_token"].reshape(1, -1)
+    pe = sd["pretrained.pos_embed"][0]            # (1+G*G, D)
+    want = np.asarray(t["pos_embed"]).shape       # (1+h8*w8, D)
+    if pe.shape != want:
+        d = pe.shape[1]
+        g = int(round((pe.shape[0] - 1) ** 0.5))
+        grid = pe[1:].reshape(g, g, d)
+        if grid_hw is None:
+            n = want[0] - 1
+            # infer (h8, w8) from the template's patch count assuming the
+            # aspect used at model construction
+            h8 = int(round((n * g / g) ** 0.5))
+            # fall back to exhaustive factor search
+            best = None
+            for hh in range(1, n + 1):
+                if n % hh == 0:
+                    ww = n // hh
+                    if best is None or abs(hh - ww) < abs(best[0] - best[1]):
+                        best = (hh, ww)
+            h8, w8 = best
+        else:
+            h8, w8 = grid_hw
+        try:
+            from scipy.ndimage import zoom  # pragma: no cover
+
+            grid = zoom(grid, (h8 / g, w8 / g, 1), order=1)
+        except Exception:
+            ys = np.clip((np.arange(h8) * g / h8), 0, g - 1)
+            xs = np.clip((np.arange(w8) * g / w8), 0, g - 1)
+            y0 = ys.astype(int); x0 = xs.astype(int)
+            y1 = np.minimum(y0 + 1, g - 1); x1 = np.minimum(x0 + 1, g - 1)
+            fy = (ys - y0)[:, None, None]; fx = (xs - x0)[None, :, None]
+            grid = (
+                grid[y0][:, x0] * (1 - fy) * (1 - fx)
+                + grid[y0][:, x1] * (1 - fy) * fx
+                + grid[y1][:, x0] * fy * (1 - fx)
+                + grid[y1][:, x1] * fy * fx
+            )
+        pe = np.concatenate([pe[:1], grid.reshape(-1, pe.shape[1])], axis=0)
+    p["pos_embed"] = pe
+    p["encoder_norm"] = {
+        "scale": sd["pretrained.norm.weight"], "bias": sd["pretrained.norm.bias"]
+    }
+    nblocks = sum(1 for k in t if k.startswith("block_"))
+    for i in range(nblocks):
+        b = f"pretrained.blocks.{i}"
+        p[f"block_{i}"] = {
+            "norm1": {"scale": sd[f"{b}.norm1.weight"], "bias": sd[f"{b}.norm1.bias"]},
+            "qkv": {"kernel": sd[f"{b}.attn.qkv.weight"].T,
+                    "bias": sd[f"{b}.attn.qkv.bias"]},
+            "attn_proj": {"kernel": sd[f"{b}.attn.proj.weight"].T,
+                          "bias": sd[f"{b}.attn.proj.bias"]},
+            "ls1": sd[f"{b}.ls1.gamma"],
+            "norm2": {"scale": sd[f"{b}.norm2.weight"], "bias": sd[f"{b}.norm2.bias"]},
+            "fc1": {"kernel": sd[f"{b}.mlp.fc1.weight"].T,
+                    "bias": sd[f"{b}.mlp.fc1.bias"]},
+            "fc2": {"kernel": sd[f"{b}.mlp.fc2.weight"].T,
+                    "bias": sd[f"{b}.mlp.fc2.bias"]},
+            "ls2": sd[f"{b}.ls2.gamma"],
+        }
+
+    # --- DPT head
+    def conv(name, tname, bias=True):
+        d = {"kernel": _t2f_conv(sd[f"{tname}.weight"])}
+        if bias:
+            d["bias"] = sd[f"{tname}.bias"]
+        return d
+
+    for j in range(4):
+        p[f"project_{j}"] = conv(None, f"depth_head.projects.{j}")
+        p[f"layer{j + 1}_rn"] = conv(None, f"depth_head.scratch.layer{j + 1}_rn",
+                                     bias=False)
+    # ConvTranspose kernels: torch (in,out,kh,kw) -> flax transpose_kernel
+    # layout (kh,kw,out,in)
+    for j in (0, 1):
+        w = sd[f"depth_head.resize_layers.{j}.weight"]
+        p[f"resize_{j}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+            "bias": sd[f"depth_head.resize_layers.{j}.bias"],
+        }
+    p["resize_3"] = conv(None, "depth_head.resize_layers.3")
+    for r in range(1, 5):
+        rn = f"depth_head.scratch.refinenet{r}"
+        p[f"refine{r}"] = {
+            "rcu1": {"conv1": conv(None, f"{rn}.resConfUnit1.conv1"),
+                     "conv2": conv(None, f"{rn}.resConfUnit1.conv2")},
+            "rcu2": {"conv1": conv(None, f"{rn}.resConfUnit2.conv1"),
+                     "conv2": conv(None, f"{rn}.resConfUnit2.conv2")},
+            "out_conv": conv(None, f"{rn}.out_conv"),
+        }
+    # refine4 has no skip input: the checkpoint still carries its unused
+    # resConfUnit1 weights; the prune() below keeps only keys our graph has
+    p["output_conv1"] = conv(None, "depth_head.scratch.output_conv1")
+    p["output_conv2a"] = conv(None, "depth_head.scratch.output_conv2.0")
+    p["output_conv2b"] = conv(None, "depth_head.scratch.output_conv2.2")
+
+    # keep only keys the template has (e.g. refine4/rcu1 absent)
+    def prune(built, tmpl):
+        out = {}
+        for k, v in tmpl.items():
+            if isinstance(v, dict) or type(v).__name__ == "FrozenDict":
+                out[k] = prune(built[k], dict(v))
+            else:
+                out[k] = built[k]
+        return out
+
+    out = {"params": prune(p, t)}
+    _check_shapes(out, params_template)
+    return _freeze(out)
+
+
+def depth_anything_v2_from_torch_file(path: str, params_template):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    return depth_anything_v2_from_torch(sd, params_template)
