@@ -112,6 +112,28 @@ class DepthEstimatorDepthAnything(DepthEstimator):
         return depth.astype(np.float32), self._depth_to_points(depth)
 
 
+class DepthEstimatorRaft(DepthEstimator):
+    """RAFT-class recurrent stereo (models/raft_stereo.py)."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None, **kw):
+        super().__init__(camera, **kw)
+        from pyslam_tpu.models.raft_stereo import RaftStereo
+
+        self.model = RaftStereo()
+        if checkpoint:
+            self.model._ensure_params((240, 320))
+            self.model.load_checkpoint(checkpoint)
+
+    def infer(self, img, img_right=None):
+        assert img_right is not None, "stereo estimator needs a right image"
+        disp = self.model.infer(img, img_right)
+        bf = self.camera.bf if self.camera is not None else 50.0
+        with np.errstate(divide="ignore"):
+            depth = np.where(disp > 0.5, bf / np.maximum(disp, 1e-6), 0.0)
+        depth = np.clip(depth, 0.0, self.max_depth).astype(np.float32)
+        return depth, self._depth_to_points(depth)
+
+
 def depth_estimator_factory(
     depth_estimator_type=DepthEstimatorType.DEPTH_SGBM,
     camera=None,
@@ -121,8 +143,14 @@ def depth_estimator_factory(
     t = depth_estimator_type
     if isinstance(t, str):
         t = DepthEstimatorType(t.lower())
-    if t in (DepthEstimatorType.DEPTH_SGBM, DepthEstimatorType.DEPTH_RAFT_STEREO,
+    if t in (DepthEstimatorType.DEPTH_RAFT_STEREO,
              DepthEstimatorType.DEPTH_CRESTEREO_PYTORCH):
+        if kw.get("checkpoint"):
+            return DepthEstimatorRaft(camera, max_depth=max_depth, **kw)
+        # no weights: the SGM path is the zero-weights production fallback
+        kw.pop("checkpoint", None)
+        return DepthEstimatorSgbm(camera, max_depth=max_depth, **kw)
+    if t == DepthEstimatorType.DEPTH_SGBM:
         return DepthEstimatorSgbm(camera, max_depth=max_depth, **kw)
     if t in (DepthEstimatorType.DEPTH_ANYTHING_V2,
              DepthEstimatorType.DEPTH_ANYTHING_V3,
