@@ -116,6 +116,20 @@ class FeatureTrackerConfigs:
         num_levels=1,
         extra={"desc_dim": 256},
     )
+    # ORB2 detector + patch-descriptor networks (reference presets
+    # ORB2_HARDNET / ORB2_SOSNET / ORB2_L2NET, feature_tracker_configs.py)
+    ORB2_HARDNET = FeatureTrackerConfig(
+        name="ORB2_HARDNET", descriptor_type=FeatureDescriptorTypes.HARDNET,
+    )
+    ORB2_SOSNET = FeatureTrackerConfig(
+        name="ORB2_SOSNET", descriptor_type=FeatureDescriptorTypes.SOSNET,
+    )
+    ORB2_L2NET = FeatureTrackerConfig(
+        name="ORB2_L2NET", descriptor_type=FeatureDescriptorTypes.L2NET,
+    )
+    ORB2_TFEAT = FeatureTrackerConfig(
+        name="ORB2_TFEAT", descriptor_type=FeatureDescriptorTypes.TFEAT,
+    )
     XFEAT_LIGHTGLUE = FeatureTrackerConfig(
         name="XFEAT_LIGHTGLUE",
         detector_type=FeatureDetectorTypes.XFEAT,
@@ -132,6 +146,29 @@ class FeatureTrackerConfigs:
         if cfg is None:
             raise KeyError(f"unknown tracker preset {name}")
         return cfg
+
+
+class _PatchDescribedExtractor:
+    """Detector + patch-network descriptor composition: run the base
+    detector, then replace the descriptors with a patch-net forward over
+    oriented 32x32 patches (one batched device dispatch)."""
+
+    def __init__(self, base, kind: str, checkpoint=None):
+        from pyslam_tpu.models.patch_descriptors import PatchDescriptorExtractor
+
+        self.base = base
+        self.descriptor = PatchDescriptorExtractor(kind)
+        if checkpoint:
+            self.descriptor.load_torch(checkpoint)
+        self.scale_factors = base.scale_factors
+        self.sigma2 = base.sigma2
+
+    def __call__(self, img):
+        fd = self.base(img)
+        des = self.descriptor.compute(
+            np.asarray(img, np.float32),
+            np.asarray(fd.xy), np.asarray(fd.size), np.asarray(fd.angle))
+        return fd._replace(desc=des)
 
 
 class FeatureTracker:
@@ -162,6 +199,17 @@ class FeatureTracker:
             self.norm = NormType.L2
         else:
             raise ValueError(f"detector not supported: {config.detector_type}")
+
+        # descriptor replacement: a patch network (HardNet/SOSNet/L2Net/
+        # TFeat) computed over the detector's oriented keypoints (reference
+        # presets ORB2_HARDNET/.._SOSNET/.._L2NET, feature_tracker_configs.py)
+        from pyslam_tpu.features.types import PATCH_DESCRIPTOR_TYPES
+
+        if config.descriptor_type in PATCH_DESCRIPTOR_TYPES:
+            self.extractor = _PatchDescribedExtractor(
+                self.extractor, config.descriptor_type.name,
+                checkpoint=config.extra.get("descriptor_checkpoint"))
+            self.norm = NormType.L2
 
         info = FEATURE_INFO.get(config.descriptor_type)
         if config.tracker_type == FeatureTrackerTypes.LIGHTGLUE:

@@ -26,6 +26,11 @@ class FeatureDescriptorTypes(enum.Enum):
     XFEAT = 3
     DISK = 4
     ALIKED = 5
+    # patch-descriptor networks over any detector's oriented keypoints
+    HARDNET = 6
+    SOSNET = 7
+    L2NET = 8
+    TFEAT = 9
 
 
 class NormType(enum.Enum):
@@ -46,4 +51,18 @@ FEATURE_INFO = {
     FeatureDescriptorTypes.XFEAT: FeatureInfo(NormType.L2, 1.2),
     FeatureDescriptorTypes.DISK: FeatureInfo(NormType.L2, 2.0),
     FeatureDescriptorTypes.ALIKED: FeatureInfo(NormType.L2, 1.2),
+    # reference distances: pySLAM feature_types.py:203-218 (HARDNET 1.8,
+    # SOSNET 2, L2NET 2.9, TFEAT 11)
+    FeatureDescriptorTypes.HARDNET: FeatureInfo(NormType.L2, 1.8),
+    FeatureDescriptorTypes.SOSNET: FeatureInfo(NormType.L2, 2.0),
+    FeatureDescriptorTypes.L2NET: FeatureInfo(NormType.L2, 2.9),
+    FeatureDescriptorTypes.TFEAT: FeatureInfo(NormType.L2, 11.0),
 }
+
+# descriptor types computed by a patch network over the detector's keypoints
+PATCH_DESCRIPTOR_TYPES = (
+    FeatureDescriptorTypes.HARDNET,
+    FeatureDescriptorTypes.SOSNET,
+    FeatureDescriptorTypes.L2NET,
+    FeatureDescriptorTypes.TFEAT,
+)
