@@ -84,9 +84,19 @@ def main():
             bf=dataset.fx * getattr(dataset, "baseline", 0.2),
             depth_threshold=20.0,
         )
-        tracker_cfg = FeatureTrackerConfig(
-            name=args.features, num_features=args.num_features, num_levels=4
-        )
+        import dataclasses
+
+        try:  # resolve the preset so --features actually switches detectors
+            tracker_cfg = dataclasses.replace(
+                FeatureTrackerConfigs.get(args.features),
+                num_features=args.num_features,
+            )
+            if tracker_cfg.detector_type.name in ("ORB2", "FAST"):
+                tracker_cfg = dataclasses.replace(tracker_cfg, num_levels=4)
+        except KeyError:
+            tracker_cfg = FeatureTrackerConfig(
+                name=args.features, num_features=args.num_features, num_levels=4
+            )
         loop_cfg = args.loop_detector
 
     if args.no_loop_closing:

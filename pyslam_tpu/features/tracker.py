@@ -116,6 +116,18 @@ class FeatureTrackerConfigs:
         num_levels=1,
         extra={"desc_dim": 256},
     )
+    SIFT = FeatureTrackerConfig(
+        name="SIFT",
+        detector_type=FeatureDetectorTypes.SIFT,
+        descriptor_type=FeatureDescriptorTypes.SIFT,
+        num_levels=16,
+    )
+    ROOT_SIFT = FeatureTrackerConfig(  # benchmark preset #2 (BASELINE.md)
+        name="ROOT_SIFT",
+        detector_type=FeatureDetectorTypes.ROOT_SIFT,
+        descriptor_type=FeatureDescriptorTypes.ROOT_SIFT,
+        num_levels=16,
+    )
     # ORB2 detector + patch-descriptor networks (reference presets
     # ORB2_HARDNET / ORB2_SOSNET / ORB2_L2NET, feature_tracker_configs.py)
     ORB2_HARDNET = FeatureTrackerConfig(
@@ -196,6 +208,16 @@ class FeatureTracker:
             from pyslam_tpu.models.xfeat import XFeatExtractor
 
             self.extractor = XFeatExtractor(num_features=config.num_features)
+            self.norm = NormType.L2
+        elif config.detector_type in (FeatureDetectorTypes.SIFT,
+                                      FeatureDetectorTypes.ROOT_SIFT):
+            from pyslam_tpu.features.classical import CvSIFTExtractor
+
+            self.extractor = CvSIFTExtractor(
+                num_features=config.num_features,
+                scale_factor=config.scale_factor,
+                root_sift=config.detector_type == FeatureDetectorTypes.ROOT_SIFT,
+            )
             self.norm = NormType.L2
         else:
             raise ValueError(f"detector not supported: {config.detector_type}")

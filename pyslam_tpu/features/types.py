@@ -17,6 +17,8 @@ class FeatureDetectorTypes(enum.Enum):
     XFEAT = 5
     DISK = 6
     ALIKED = 7
+    SIFT = 8          # host cv2 detector (reference wraps cv2 the same way)
+    ROOT_SIFT = 9
 
 
 class FeatureDescriptorTypes(enum.Enum):
@@ -31,6 +33,8 @@ class FeatureDescriptorTypes(enum.Enum):
     SOSNET = 7
     L2NET = 8
     TFEAT = 9
+    SIFT = 10
+    ROOT_SIFT = 11
 
 
 class NormType(enum.Enum):
@@ -57,6 +61,9 @@ FEATURE_INFO = {
     FeatureDescriptorTypes.SOSNET: FeatureInfo(NormType.L2, 2.0),
     FeatureDescriptorTypes.L2NET: FeatureInfo(NormType.L2, 2.9),
     FeatureDescriptorTypes.TFEAT: FeatureInfo(NormType.L2, 11.0),
+    # reference: SIFT 450, ROOT_SIFT 0.9 (feature_types.py:155-160)
+    FeatureDescriptorTypes.SIFT: FeatureInfo(NormType.L2, 450.0),
+    FeatureDescriptorTypes.ROOT_SIFT: FeatureInfo(NormType.L2, 0.9),
 }
 
 # descriptor types computed by a patch network over the detector's keypoints

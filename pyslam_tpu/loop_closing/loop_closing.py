@@ -292,7 +292,7 @@ class LoopClosing:
             return False, None, 0
 
         # descriptor matching between the two point sets
-        d = hamming.hamming_distance_matrix(
+        d = hamming.descriptor_distance_matrix(
             jnp.asarray(st.desc[pids1]), jnp.asarray(st.desc[pids2])
         ).astype(jnp.float32)
         idx, _ = m_ops.match_ratio_test(

@@ -52,7 +52,7 @@ class Relocalizer:
                 continue
 
             # match frame descriptors to the candidate's map-point descriptors
-            d = hamming.hamming_distance_matrix(
+            d = hamming.descriptor_distance_matrix(
                 jnp.asarray(st.desc[pids]), jnp.asarray(frame.des)
             ).astype(jnp.float32)
             idx, _ = m_ops.match_ratio_test(

@@ -27,8 +27,9 @@ from pyslam_tpu.ops import hamming
 
 @functools.partial(jax.jit, static_argnames=())
 def quantize(desc_bits: jnp.ndarray, vocab_bits: jnp.ndarray, valid: jnp.ndarray):
-    """(N,256) descriptors -> (N,) word ids (argmin Hamming to codebook)."""
-    d = hamming.hamming_distance_matrix(desc_bits, vocab_bits)
+    """(N,D) descriptors -> (N,) word ids (argmin distance to codebook;
+    Hamming for bit descriptors, L2 for float — dtype dispatch)."""
+    d = hamming.descriptor_distance_matrix(desc_bits, vocab_bits)
     words = jnp.argmin(d, axis=1).astype(jnp.int32)
     return jnp.where(valid, words, -1)
 
@@ -69,16 +70,26 @@ class BinaryVocabulary:
         self.word_doc_count = np.zeros(num_words, np.int64)
 
     def seed_from_descriptors(self, desc: np.ndarray, kmeans_iters: int = 2):
-        """Initialize centroids by sampling real descriptors (+ jitter)."""
-        desc = np.asarray(desc, np.int8)
+        """Initialize centroids by sampling real descriptors (+ jitter).
+
+        Adopts the session descriptor layout: int8 bit descriptors get a
+        binary codebook (bit-flip jitter), float descriptors (SIFT/learned)
+        get float centroids (gaussian jitter) and L2 quantization."""
+        desc = np.asarray(desc)
         if len(desc) == 0:
             return
         idx = self._rng.integers(0, len(desc), self.num_words)
         words = desc[idx].copy()
-        # jitter duplicated samples so words stay distinct: flip ~8 bits
-        flips = self._rng.integers(0, 256, (self.num_words, 8))
-        for i in range(self.num_words):
-            words[i, flips[i]] ^= 1
+        if np.issubdtype(desc.dtype, np.floating):
+            words = words.astype(np.float32)
+            sigma = 0.03 * float(np.std(desc)) + 1e-6
+            words += self._rng.normal(0, sigma, words.shape).astype(np.float32)
+        else:
+            dim = desc.shape[1]
+            # jitter duplicated samples so words stay distinct: flip ~8 bits
+            flips = self._rng.integers(0, dim, (self.num_words, 8))
+            for i in range(self.num_words):
+                words[i, flips[i]] ^= 1
         self.words_bits = words
         self._words_dev = jnp.asarray(self.words_bits)
         if kmeans_iters > 0 and len(desc) >= self.num_words // 4:
@@ -89,18 +100,22 @@ class BinaryVocabulary:
     def train_kmeans(self, descriptors: np.ndarray, iters: int = 4):
         """Refine the codebook with binary k-means (majority vote centroids)
         over a sample of real descriptors."""
-        desc = jnp.asarray(descriptors.astype(np.int8))
+        is_float = np.issubdtype(np.asarray(descriptors).dtype, np.floating)
+        desc = jnp.asarray(np.asarray(
+            descriptors, np.float32 if is_float else np.int8))
         vocab = jnp.asarray(self.words_bits)
-        n = desc.shape[0]
+        dim = desc.shape[1]
         for _ in range(iters):
-            d = hamming.hamming_distance_matrix(desc, vocab)
+            d = hamming.descriptor_distance_matrix(desc, vocab)
             assign = jnp.argmin(d, axis=1)
-            # majority vote per cluster per bit
-            sums = jnp.zeros((self.num_words, 256), jnp.float32).at[assign].add(
+            sums = jnp.zeros((self.num_words, dim), jnp.float32).at[assign].add(
                 desc.astype(jnp.float32)
             )
             counts = jnp.zeros((self.num_words,), jnp.float32).at[assign].add(1.0)
-            new = (sums > counts[:, None] * 0.5).astype(jnp.int8)
+            if is_float:  # mean centroid
+                new = sums / jnp.maximum(counts[:, None], 1.0)
+            else:  # majority vote per cluster per bit
+                new = (sums > counts[:, None] * 0.5).astype(jnp.int8)
             # keep old centroid for empty clusters
             vocab = jnp.where((counts > 0)[:, None], new, vocab)
         self.words_bits = np.asarray(vocab)

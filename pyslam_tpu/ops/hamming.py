@@ -89,3 +89,17 @@ def np_pack(bits: np.ndarray) -> np.ndarray:
 
 def np_unpack(packed: np.ndarray) -> np.ndarray:
     return np.unpackbits(packed, axis=-1).astype(np.int8)
+
+
+def descriptor_distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dtype-dispatching all-pairs descriptor distance (float32 output).
+
+    Integer inputs are unpacked descriptor BITS -> Hamming (MXU popcount
+    matmul); float inputs -> L2.  This mirrors the reference's per-descriptor
+    norm dispatch (``FeatureInfo.norm_type``, feature_types.py:152+) without
+    threading a static metric through every jitted matcher: jit re-traces on
+    dtype, so the dispatch is resolved at compile time.
+    """
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        return l2_distance_matrix(a, b)
+    return hamming_distance_matrix(a, b).astype(jnp.float32)

@@ -94,7 +94,7 @@ def search_by_projection(
     )
     pair_ok = in_window & level_ok & pt_ok[:, None] & kp_valid[None, :]
 
-    dmat = hamming.hamming_distance_matrix(pt_desc, kp_desc).astype(jnp.float32)
+    dmat = hamming.descriptor_distance_matrix(pt_desc, kp_desc)
     idx, dists = matching.match_ratio_test(
         dmat,
         max_descriptor_distance,
@@ -155,7 +155,7 @@ def epipolar_triangulation_match(
     far_from_epipole = de > 100.0 * scale22
     pair_ok = epi_ok & free1[:, None] & (free2 & far_from_epipole)[None, :]
 
-    dmat = hamming.hamming_distance_matrix(desc1, desc2).astype(jnp.float32)
+    dmat = hamming.descriptor_distance_matrix(desc1, desc2)
     idx2, dists = matching.match_ratio_test(
         dmat,
         max_descriptor_distance,
@@ -235,7 +235,7 @@ def fuse_candidates(
     chi_ok = jnp.where(is_stereo, e2_stereo <= 7.815, e2_mono <= 5.991)
 
     pair_ok = in_window & level_ok & chi_ok & pt_ok[:, None] & kp_valid[None, :]
-    dmat = hamming.hamming_distance_matrix(pt_desc, kp_desc).astype(jnp.float32)
+    dmat = hamming.descriptor_distance_matrix(pt_desc, kp_desc)
     dmat = jnp.where(pair_ok, dmat, matching.INF)
     best_kp = jnp.argmin(dmat, axis=1).astype(jnp.int32)
     best_dist = jnp.take_along_axis(dmat, best_kp[:, None].astype(jnp.int64), axis=1)[:, 0]

@@ -86,7 +86,9 @@ class Frame:
             self.levels = np.asarray(features.level, np.int32)
             self.angles = np.asarray(features.angle, np.float32)
             self.sizes = np.asarray(features.size, np.float32)
-            self.des = np.asarray(features.desc, np.int8)
+            # keep native dtype: int8 unpacked bits (Hamming) or float32
+            # (learned/SIFT descriptors, L2) — matchers dispatch on dtype
+            self.des = np.asarray(features.desc)
             self.valid = np.asarray(features.valid, bool)
         else:
             n = Parameters.kNumFeatures

@@ -69,7 +69,7 @@ class Initializer:
         ref = self.ref_frame
         from pyslam_tpu.ops import hamming, matching as m_ops
 
-        d = hamming.hamming_distance_matrix(
+        d = hamming.descriptor_distance_matrix(
             jnp.asarray(ref.des), jnp.asarray(f.des)
         ).astype(jnp.float32)
         idx2, _ = m_ops.match_ratio_test(

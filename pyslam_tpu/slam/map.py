@@ -45,11 +45,23 @@ class MapPointStorage:
         old = self.__dict__.copy()
         cap = self.capacity * 2
         self._alloc(cap)
+        self.ensure_desc_layout(old["desc"])  # keep adopted (dim, dtype)
         for name in ("pos", "desc", "normal", "min_dist", "max_dist", "valid",
                      "n_visible", "n_found", "first_kid", "num_obs",
                      "replaced_by", "ref_level"):
             getattr(self, name)[: old["capacity"]] = old[name]
         self.size = old["size"]
+
+    def ensure_desc_layout(self, des: np.ndarray):
+        """Adopt the session descriptor layout (dim, dtype) on first use.
+
+        ORB2 stores 256 unpacked bits as int8; learned/SIFT descriptors are
+        float32 of varying dim.  The store allocates the default binary
+        layout and re-allocates once if the first written descriptors
+        differ (only ever happens before any point exists)."""
+        dim, dtype = des.shape[1], des.dtype
+        if self.desc.shape[1] != dim or self.desc.dtype != dtype:
+            self.desc = np.zeros((self.capacity, dim), dtype)
 
     def new_points(self, n: int) -> np.ndarray:
         while self.size + n > self.capacity:
@@ -214,6 +226,7 @@ class Map:
             return np.zeros(0, np.int64)
         pids = self.points.new_points(n)
         st = self.points
+        st.ensure_desc_layout(kf.des)
         st.pos[pids] = positions
         st.valid[pids] = True
         st.first_kid[pids] = kf.kid
@@ -269,8 +282,12 @@ class Map:
             if len(descs) > 2:
                 # tiny (n_obs x n_obs) distance matrix: HOST numpy — a device
                 # dispatch per map point would dominate local mapping time
-                dd = D.astype(np.int16)
-                dm = np.abs(dd[:, None, :] - dd[None, :, :]).sum(-1)
+                if np.issubdtype(D.dtype, np.floating):
+                    diff = D[:, None, :] - D[None, :, :]
+                    dm = np.sqrt((diff * diff).sum(-1))
+                else:
+                    dd = D.astype(np.int16)
+                    dm = np.abs(dd[:, None, :] - dd[None, :, :]).sum(-1)
                 best = int(np.argmin(np.median(dm, axis=1)))
             else:
                 best = 0

@@ -32,13 +32,27 @@ def _unb64(d: dict) -> np.ndarray:
     ).reshape(d["shape"]).copy()
 
 
+def _desc_to_json(des: np.ndarray, key: str = "desc") -> dict:
+    """Binary descriptors (int8 unpacked bits) -> bit-packed b64 (compact,
+    matches the original schema); float descriptors -> raw b64."""
+    if np.issubdtype(des.dtype, np.floating):
+        return {f"{key}_float": _b64(des.astype(np.float32))}
+    return {f"{key}_packed": _b64(np.packbits(des.astype(np.uint8), axis=1))}
+
+
+def _desc_from_json(d: dict, key: str = "desc") -> np.ndarray:
+    if f"{key}_float" in d:
+        return _unb64(d[f"{key}_float"])
+    return np.unpackbits(_unb64(d[f"{key}_packed"]), axis=1).astype(np.int8)
+
+
 def map_to_json(m: Map) -> dict:
     st = m.points
     alive = st.alive_ids()
     points = {
         "ids": _b64(alive.astype(np.int64)),
         "pos": _b64(st.pos[alive]),
-        "desc_packed": _b64(np.packbits(st.desc[alive].astype(np.uint8), axis=1)),
+        **_desc_to_json(st.desc[alive]),
         "normal": _b64(st.normal[alive]),
         "min_dist": _b64(st.min_dist[alive]),
         "max_dist": _b64(st.max_dist[alive]),
@@ -57,7 +71,7 @@ def map_to_json(m: Map) -> dict:
                 "kps": _b64(kf.kps),
                 "levels": _b64(kf.levels),
                 "angles": _b64(kf.angles),
-                "des_packed": _b64(np.packbits(kf.des.astype(np.uint8), axis=1)),
+                **_desc_to_json(kf.des, key="des"),
                 "valid": _b64(kf.valid),
                 "points": _b64(kf.points),
                 "kps_ur": _b64(kf.kps_ur),
@@ -86,9 +100,9 @@ def map_from_json(d: dict, feature_tracker, camera) -> Map:
             st._grow()
         st.size = max(st.size, needed)
         st.pos[ids] = _unb64(d["points"]["pos"])
-        st.desc[ids] = np.unpackbits(
-            _unb64(d["points"]["desc_packed"]), axis=1
-        ).astype(np.int8)
+        desc = _desc_from_json(d["points"])
+        st.ensure_desc_layout(desc)
+        st.desc[ids] = desc
         st.normal[ids] = _unb64(d["points"]["normal"])
         st.min_dist[ids] = _unb64(d["points"]["min_dist"])
         st.max_dist[ids] = _unb64(d["points"]["max_dist"])
@@ -110,7 +124,7 @@ def map_from_json(d: dict, feature_tracker, camera) -> Map:
         f.levels = _unb64(kfd["levels"])
         f.angles = _unb64(kfd["angles"])
         f.sizes = np.zeros(len(f.kps), np.float32)
-        f.des = np.unpackbits(_unb64(kfd["des_packed"]), axis=1).astype(np.int8)
+        f.des = _desc_from_json(kfd, key="des")
         f.valid = _unb64(kfd["valid"])
         f.num_kps = len(f.kps)
         f.points = _unb64(kfd["points"])

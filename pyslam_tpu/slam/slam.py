@@ -53,6 +53,16 @@ class Slam:
             else None
         )
         self.feature_tracker = feature_tracker_factory(feature_tracker_config)
+        # seed the session descriptor-distance gates from the descriptor's
+        # reference acceptance distance (reference FeatureInfo.
+        # max_descriptor_distance, feature_types.py:152+, consumed session-
+        # wide via Parameters in the reference too). ORB keeps 100/50.
+        from pyslam_tpu.features.types import FEATURE_INFO
+
+        info = FEATURE_INFO.get(self.feature_tracker.config.descriptor_type)
+        if info is not None:
+            Parameters.kMaxDescriptorDistance = float(info.max_distance)
+            Parameters.kMaxOrbDistanceSearchByReproj = 0.5 * float(info.max_distance)
         self.map = Map()
         self.local_mapping = LocalMapping(
             self.map, camera, sensor_type, self.feature_tracker

@@ -212,7 +212,7 @@ class Tracking:
         ``tracking.py:480-643``)."""
         from pyslam_tpu.ops import hamming, matching as m_ops
 
-        d = hamming.hamming_distance_matrix(
+        d = hamming.descriptor_distance_matrix(
             jnp.asarray(kf.des), jnp.asarray(f_cur.des)
         ).astype(jnp.float32)
         kf_has_point = jnp.asarray((kf.points >= 0) & kf.valid)
