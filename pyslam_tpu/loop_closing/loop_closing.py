@@ -60,15 +60,24 @@ class LoopDetector:
             from pyslam_tpu.loop_closing.vlad import VladVocabulary
 
             self.vlad = VladVocabulary(num_clusters=config.num_words)
-        if gdt in (GlobalDescriptorType.NETVLAD, GlobalDescriptorType.COSPLACE,
-                   GlobalDescriptorType.EIGENPLACES, GlobalDescriptorType.MEGALOC):
+        if gdt in (GlobalDescriptorType.NETVLAD, GlobalDescriptorType.MEGALOC):
             # NetVLAD-class learned global descriptor (same score-based DB
-            # path; COSPLACE/EIGENPLACES/MEGALOC currently share the NetVLAD
-            # graph slot until their converters land)
+            # path; MEGALOC shares the NetVLAD graph slot until its
+            # converter lands)
             from pyslam_tpu.models.netvlad import NetVLADExtractor
 
             Parameters.kRetainImageForVPR = True
             self.netvlad = NetVLADExtractor(
+                checkpoint=config.extra.get("checkpoint")
+            )
+        if gdt in (GlobalDescriptorType.COSPLACE,
+                   GlobalDescriptorType.EIGENPLACES):
+            # gmberton CosPlace / EigenPlaces (ResNet + GeM + Linear); same
+            # whole-image score-based path as NetVLAD
+            from pyslam_tpu.models.cosplace import CosPlaceExtractor
+
+            Parameters.kRetainImageForVPR = True
+            self.netvlad = CosPlaceExtractor(
                 checkpoint=config.extra.get("checkpoint")
             )
         self.score_based = gdt in (

@@ -90,9 +90,10 @@ def semantic_segmentation_factory(
         segmentation_type = SemanticSegmentationType(segmentation_type.lower())
     if segmentation_type == SemanticSegmentationType.INTENSITY_BANDS:
         return IntensityBandSegmentation(num_classes or 8)
-    if segmentation_type in (
-        SemanticSegmentationType.SEGFORMER,
-        SemanticSegmentationType.DEEPLABV3,
-    ):
+    if segmentation_type == SemanticSegmentationType.SEGFORMER:
         return SegformerSegmentation(num_classes or 19, checkpoint)
+    if segmentation_type == SemanticSegmentationType.DEEPLABV3:
+        from pyslam_tpu.models.deeplabv3 import DeepLabV3Segmenter
+
+        return DeepLabV3Segmenter(num_classes or 21, checkpoint)
     raise NotImplementedError(f"segmentation backend {segmentation_type}")
