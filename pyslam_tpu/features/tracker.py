@@ -116,6 +116,22 @@ class FeatureTrackerConfigs:
         num_levels=1,
         extra={"desc_dim": 256},
     )
+    DISK = FeatureTrackerConfig(
+        name="DISK",
+        detector_type=FeatureDetectorTypes.DISK,
+        descriptor_type=FeatureDescriptorTypes.DISK,
+        num_features=2000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
+    R2D2 = FeatureTrackerConfig(
+        name="R2D2",
+        detector_type=FeatureDetectorTypes.R2D2,
+        descriptor_type=FeatureDescriptorTypes.R2D2,
+        num_features=2000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
     SIFT = FeatureTrackerConfig(
         name="SIFT",
         detector_type=FeatureDetectorTypes.SIFT,
@@ -208,6 +224,20 @@ class FeatureTracker:
             from pyslam_tpu.models.xfeat import XFeatExtractor
 
             self.extractor = XFeatExtractor(num_features=config.num_features)
+            self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.DISK:
+            from pyslam_tpu.models.disk import DiskExtractor
+
+            self.extractor = DiskExtractor(
+                num_features=config.num_features,
+                checkpoint=config.extra.get("checkpoint"))
+            self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.R2D2:
+            from pyslam_tpu.models.r2d2 import R2D2Extractor
+
+            self.extractor = R2D2Extractor(
+                num_features=config.num_features,
+                checkpoint=config.extra.get("checkpoint"))
             self.norm = NormType.L2
         elif config.detector_type in (FeatureDetectorTypes.SIFT,
                                       FeatureDetectorTypes.ROOT_SIFT):

@@ -19,6 +19,7 @@ class FeatureDetectorTypes(enum.Enum):
     ALIKED = 7
     SIFT = 8          # host cv2 detector (reference wraps cv2 the same way)
     ROOT_SIFT = 9
+    R2D2 = 10
 
 
 class FeatureDescriptorTypes(enum.Enum):
@@ -35,6 +36,7 @@ class FeatureDescriptorTypes(enum.Enum):
     TFEAT = 9
     SIFT = 10
     ROOT_SIFT = 11
+    R2D2 = 12
 
 
 class NormType(enum.Enum):
@@ -64,6 +66,7 @@ FEATURE_INFO = {
     # reference: SIFT 450, ROOT_SIFT 0.9 (feature_types.py:155-160)
     FeatureDescriptorTypes.SIFT: FeatureInfo(NormType.L2, 450.0),
     FeatureDescriptorTypes.ROOT_SIFT: FeatureInfo(NormType.L2, 0.9),
+    FeatureDescriptorTypes.R2D2: FeatureInfo(NormType.L2, 1.4),
 }
 
 # descriptor types computed by a patch network over the detector's keypoints
