@@ -134,6 +134,36 @@ class DepthEstimatorRaft(DepthEstimator):
         return depth, self._depth_to_points(depth)
 
 
+class DepthEstimatorMast3r(DepthEstimator):
+    """DEPTH_MAST3R / DEPTH_MVDUST3R: metric depth from the view-1 pointmap
+    of a MASt3R-class two-view network (reference
+    ``depth_estimator_mast3r.py`` / ``depth_estimator_mvdust3r.py``).  With
+    a right image the pair is (left, right); monocular input pairs the
+    image with itself (the reference does the same for single-view use)."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None, **kw):
+        super().__init__(camera, **kw)
+        from pyslam_tpu.models.mast3r import Mast3rModel
+
+        self.model = Mast3rModel(checkpoint=checkpoint)
+
+    def infer(self, img, img_right=None):
+        import numpy as np
+
+        h, w = np.asarray(img).shape[:2]
+        other = img_right if img_right is not None else img
+        (pts1, conf1, _, _), _ = self.model.infer_pair(img, other)
+        depth = np.asarray(pts1[..., 2], np.float32)
+        # resize net-resolution depth back to the input size (nearest)
+        ys = np.clip((np.arange(h) * depth.shape[0] / h).astype(int),
+                     0, depth.shape[0] - 1)
+        xs = np.clip((np.arange(w) * depth.shape[1] / w).astype(int),
+                     0, depth.shape[1] - 1)
+        depth = depth[np.ix_(ys, xs)]
+        depth = np.clip(depth, 0.0, self.max_depth)
+        return depth, self._depth_to_points(depth)
+
+
 def depth_estimator_factory(
     depth_estimator_type=DepthEstimatorType.DEPTH_SGBM,
     camera=None,
@@ -156,4 +186,7 @@ def depth_estimator_factory(
              DepthEstimatorType.DEPTH_ANYTHING_V3,
              DepthEstimatorType.DEPTH_PRO):
         return DepthEstimatorDepthAnything(camera, max_depth=max_depth, **kw)
+    if t in (DepthEstimatorType.DEPTH_MAST3R,
+             DepthEstimatorType.DEPTH_MVDUST3R):
+        return DepthEstimatorMast3r(camera, max_depth=max_depth, **kw)
     raise NotImplementedError(f"depth estimator {t}")

@@ -35,6 +35,7 @@ class FeatureTrackerTypes(enum.Enum):
     LK = 2        # Lucas-Kanade optical flow (pyramidal, JAX)
     XFEAT = 3
     LIGHTGLUE = 4
+    MAST3R = 5    # dense two-view matcher (reference Mast3rFeatureTracker)
 
 
 @dataclass
@@ -115,6 +116,14 @@ class FeatureTrackerConfigs:
         num_features=1000,
         num_levels=1,
         extra={"desc_dim": 256},
+    )
+    MAST3R = FeatureTrackerConfig(
+        name="MAST3R",
+        descriptor_type=FeatureDescriptorTypes.MAST3R,
+        tracker_type=FeatureTrackerTypes.MAST3R,
+        num_features=2000,
+        num_levels=1,
+        ratio_test=0.9,
     )
     DISK = FeatureTrackerConfig(
         name="DISK",
@@ -329,9 +338,81 @@ class LkFeatureTracker(FeatureTracker):
         return np.asarray(pts1), np.asarray(ok), np.asarray(res)
 
 
+class Mast3rFeatureTracker:
+    """MASt3R dense tracker (reference ``feature_tracker.py:453``
+    Mast3rFeatureTracker): keypoints are the most descriptor-confident
+    pixels of the pointmap network; matching is descriptor reciprocal-NN.
+    Exposes the standard detectAndCompute/match surface (descriptors are
+    per-pixel, so single-image extraction works by pairing the image with
+    itself) plus ``track_pair`` for true joint two-view inference."""
+
+    def __init__(self, config: FeatureTrackerConfig):
+        from pyslam_tpu.models.mast3r import Mast3rModel
+
+        self.config = config
+        self.num_features = config.num_features
+        self.model = Mast3rModel(checkpoint=config.extra.get("checkpoint"))
+        self.norm = NormType.L2
+        self.scale_factors = np.array([1.0], np.float32)
+        self.sigma2 = np.array([1.0], np.float32)
+        self.inv_sigma2 = 1.0 / self.sigma2
+        info = FEATURE_INFO[FeatureDescriptorTypes.MAST3R]
+        self.matcher = feature_matcher_factory(
+            norm=NormType.L2, matcher_type=FeatureMatcherTypes.BF,
+            max_distance=info.max_distance, ratio_test=config.ratio_test)
+
+    def detectAndCompute(self, img):
+        import jax.numpy as jnp
+
+        from pyslam_tpu.features.orb2 import FeatureData
+
+        (_, _, d1, c1), _ = self.model.infer_pair(img, img)
+        h_in, w_in = np.asarray(img).shape[:2]
+        H, W = c1.shape
+        n = self.num_features
+        flat = np.argsort(-c1.reshape(-1))[:n]
+        xy = np.zeros((n, 2), np.float32)
+        desc = np.zeros((n, d1.shape[-1]), np.float32)
+        valid = np.zeros((n,), bool)
+        k = len(flat)
+        # map net-resolution pixels back to input coordinates
+        xy[:k, 0] = (flat % W) * (w_in / W)
+        xy[:k, 1] = (flat // W) * (h_in / H)
+        desc[:k] = d1.reshape(-1, d1.shape[-1])[flat]
+        valid[:k] = True
+        resp = np.zeros((n,), np.float32)
+        resp[:k] = c1.reshape(-1)[flat]
+        return FeatureData(
+            xy=jnp.asarray(xy), level=jnp.zeros((n,), jnp.int32),
+            angle=jnp.zeros((n,), jnp.float32),
+            size=jnp.full((n,), 16.0, jnp.float32),
+            response=jnp.asarray(resp), desc=jnp.asarray(desc),
+            valid=jnp.asarray(valid))
+
+    def match(self, f1, f2, ratio=None):
+        idx2, _ = self.matcher.match(
+            f1.desc, f2.desc, valid1=f1.valid, valid2=f2.valid, ratio=ratio)
+        idx2 = np.asarray(idx2)
+        idx1 = np.nonzero(idx2 >= 0)[0]
+        return idx1, idx2[idx1]
+
+    def track_pair(self, img1, img2):
+        """Joint two-view dense matching; returns (xy1, xy2, scores) in
+        each image's input pixel coordinates."""
+        xy1, xy2, s = self.model.match_pair(img1, img2)
+        h1, w1 = np.asarray(img1).shape[:2]
+        h2, w2 = np.asarray(img2).shape[:2]
+        Hn, Wn = self.model.cfg.img_hw
+        xy1 = xy1 * np.array([w1 / Wn, h1 / Hn], np.float32)
+        xy2 = xy2 * np.array([w2 / Wn, h2 / Hn], np.float32)
+        return xy1, xy2, s
+
+
 def feature_tracker_factory(config: FeatureTrackerConfig | str = "ORB2") -> FeatureTracker:
     if isinstance(config, str):
         config = FeatureTrackerConfigs.get(config)
     if config.tracker_type == FeatureTrackerTypes.LK:
         return LkFeatureTracker(config)
+    if config.tracker_type == FeatureTrackerTypes.MAST3R:
+        return Mast3rFeatureTracker(config)
     return FeatureTracker(config)

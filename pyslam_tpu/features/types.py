@@ -20,6 +20,7 @@ class FeatureDetectorTypes(enum.Enum):
     SIFT = 8          # host cv2 detector (reference wraps cv2 the same way)
     ROOT_SIFT = 9
     R2D2 = 10
+    MAST3R = 11
 
 
 class FeatureDescriptorTypes(enum.Enum):
@@ -37,6 +38,7 @@ class FeatureDescriptorTypes(enum.Enum):
     SIFT = 10
     ROOT_SIFT = 11
     R2D2 = 12
+    MAST3R = 13
 
 
 class NormType(enum.Enum):
@@ -67,6 +69,7 @@ FEATURE_INFO = {
     FeatureDescriptorTypes.SIFT: FeatureInfo(NormType.L2, 450.0),
     FeatureDescriptorTypes.ROOT_SIFT: FeatureInfo(NormType.L2, 0.9),
     FeatureDescriptorTypes.R2D2: FeatureInfo(NormType.L2, 1.4),
+    FeatureDescriptorTypes.MAST3R: FeatureInfo(NormType.L2, 2.0),
 }
 
 # descriptor types computed by a patch network over the detector's keypoints

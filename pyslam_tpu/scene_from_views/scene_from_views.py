@@ -187,6 +187,34 @@ class SceneFromViewsDust3r(SceneFromViewsBase):
         return SceneFromViewsResult(poses=np.stack(poses), points=pts)
 
 
+class SceneFromViewsMast3r(SceneFromViewsDust3r):
+    """MASt3R-class reconstruction (models/mast3r.py): same pairwise
+    pointmap chaining, but pair registration uses the dense descriptor
+    matches (reciprocal NN) restricted to confident pixels — the matching-
+    based alignment that distinguishes MASt3R from DUSt3R (reference
+    ``scene_from_views_mast3r.py``)."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None,
+                 conf_threshold: float = 1.5, **kw):
+        SceneFromViewsBase.__init__(self, camera)
+        from pyslam_tpu.models.mast3r import Mast3rModel
+
+        self.model = _Mast3rPairAdapter(Mast3rModel(checkpoint=checkpoint))
+        self.conf_threshold = conf_threshold
+
+
+class _Mast3rPairAdapter:
+    """Adapt Mast3rModel.infer_pair to the (pts1, conf1, pts2, conf2)
+    surface SceneFromViewsDust3r consumes."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def infer_pair(self, img1, img2):
+        (p1, c1, _, _), (p2, c2, _, _) = self.model.infer_pair(img1, img2)
+        return p1, c1, p2, c2
+
+
 def scene_from_views_factory(
     scene_type=SceneFromViewsType.GEOMETRIC, camera=None, **kw
 ) -> SceneFromViewsBase:
@@ -194,6 +222,8 @@ def scene_from_views_factory(
         scene_type = SceneFromViewsType(scene_type.lower())
     if scene_type == SceneFromViewsType.GEOMETRIC:
         return SceneFromViewsGeometric(camera, **kw)
+    if scene_type == SceneFromViewsType.MAST3R:
+        return SceneFromViewsMast3r(camera, **kw)
     if scene_type in (SceneFromViewsType.DUST3R, SceneFromViewsType.MVDUST3R,
                       SceneFromViewsType.VGGT, SceneFromViewsType.FAST3R):
         # DUST3R runs natively; the sibling multi-view models share the
