@@ -36,6 +36,7 @@ class FeatureTrackerTypes(enum.Enum):
     XFEAT = 3
     LIGHTGLUE = 4
     MAST3R = 5    # dense two-view matcher (reference Mast3rFeatureTracker)
+    LOFTR = 6     # detector-free transformer matcher (reference LoftrFeatureTracker)
 
 
 @dataclass
@@ -116,6 +117,12 @@ class FeatureTrackerConfigs:
         num_features=1000,
         num_levels=1,
         extra={"desc_dim": 256},
+    )
+    LOFTR = FeatureTrackerConfig(
+        name="LOFTR",
+        tracker_type=FeatureTrackerTypes.LOFTR,
+        num_features=1024,
+        num_levels=1,
     )
     MAST3R = FeatureTrackerConfig(
         name="MAST3R",
@@ -408,6 +415,34 @@ class Mast3rFeatureTracker:
         return xy1, xy2, s
 
 
+class LoftrFeatureTracker:
+    """LoFTR dense tracker (reference ``feature_tracker.py:363``): no
+    per-image descriptors; correspondences come from joint two-view
+    inference (``track_pair``)."""
+
+    def __init__(self, config: FeatureTrackerConfig):
+        from pyslam_tpu.models.loftr import LoFTRConfig, LoFTRMatcher
+
+        self.config = config
+        self.num_features = config.num_features
+        cfg = LoFTRConfig(max_matches=config.num_features,
+                          img_hw=config.extra.get("img_hw", (480, 640)))
+        self.matcher = LoFTRMatcher(
+            cfg, checkpoint=config.extra.get("checkpoint"))
+        self.norm = NormType.L2
+        self.scale_factors = np.array([1.0], np.float32)
+        self.sigma2 = np.array([1.0], np.float32)
+        self.inv_sigma2 = 1.0 / self.sigma2
+
+    def track_pair(self, img1, img2):
+        return self.matcher.match_pair(img1, img2)
+
+    def detectAndCompute(self, img):
+        raise NotImplementedError(
+            "LoFTR is detector-free; use track_pair(img1, img2) — the "
+            "reference LoftrFeatureTracker has the same restriction")
+
+
 def feature_tracker_factory(config: FeatureTrackerConfig | str = "ORB2") -> FeatureTracker:
     if isinstance(config, str):
         config = FeatureTrackerConfigs.get(config)
@@ -415,4 +450,6 @@ def feature_tracker_factory(config: FeatureTrackerConfig | str = "ORB2") -> Feat
         return LkFeatureTracker(config)
     if config.tracker_type == FeatureTrackerTypes.MAST3R:
         return Mast3rFeatureTracker(config)
+    if config.tracker_type == FeatureTrackerTypes.LOFTR:
+        return LoftrFeatureTracker(config)
     return FeatureTracker(config)
