@@ -223,7 +223,7 @@ class LoFTRNet(nn.Module):
         mutual = nn21[nn12] == jnp.arange(P.shape[0])
         ok = mutual & (conf_all > c.conf_threshold)
         score = jnp.where(ok, conf_all, -1.0)
-        top_conf, top_i1 = jax.lax.top_k(score, c.max_matches)
+        top_conf, top_i1 = jax.lax.top_k(score, min(c.max_matches, hc * wc))
         top_i2 = nn12[top_i1]
         valid = top_conf > 0
 
