@@ -118,6 +118,30 @@ class FeatureTrackerConfigs:
         num_levels=1,
         extra={"desc_dim": 256},
     )
+    D2NET = FeatureTrackerConfig(
+        name="D2NET",
+        detector_type=FeatureDetectorTypes.D2NET,
+        descriptor_type=FeatureDescriptorTypes.D2NET,
+        num_features=2000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
+    KEYNET = FeatureTrackerConfig(
+        name="KEYNET",
+        detector_type=FeatureDetectorTypes.KEYNET,
+        descriptor_type=FeatureDescriptorTypes.HARDNET,
+        num_features=2000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
+    KEYNETAFFNETHARDNET = FeatureTrackerConfig(
+        name="KEYNETAFFNETHARDNET",
+        detector_type=FeatureDetectorTypes.KEYNET,
+        descriptor_type=FeatureDescriptorTypes.HARDNET,
+        num_features=2000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
     LOFTR = FeatureTrackerConfig(
         name="LOFTR",
         tracker_type=FeatureTrackerTypes.LOFTR,
@@ -248,6 +272,24 @@ class FeatureTracker:
                 num_features=config.num_features,
                 checkpoint=config.extra.get("checkpoint"))
             self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.D2NET:
+            from pyslam_tpu.models.d2net import D2NetExtractor
+
+            self.extractor = D2NetExtractor(
+                num_features=config.num_features,
+                checkpoint=config.extra.get("checkpoint"))
+            self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.KEYNET:
+            from pyslam_tpu.models.keynet import KeyNetExtractor
+
+            self.extractor = KeyNetExtractor(
+                num_features=config.num_features,
+                checkpoint=config.extra.get("checkpoint"),
+                descriptor=config.descriptor_type.name
+                if config.descriptor_type.name in ("HARDNET", "SOSNET",
+                                                   "L2NET", "TFEAT")
+                else "HARDNET")
+            self.norm = NormType.L2
         elif config.detector_type == FeatureDetectorTypes.R2D2:
             from pyslam_tpu.models.r2d2 import R2D2Extractor
 
@@ -273,7 +315,9 @@ class FeatureTracker:
         # presets ORB2_HARDNET/.._SOSNET/.._L2NET, feature_tracker_configs.py)
         from pyslam_tpu.features.types import PATCH_DESCRIPTOR_TYPES
 
-        if config.descriptor_type in PATCH_DESCRIPTOR_TYPES:
+        if (config.descriptor_type in PATCH_DESCRIPTOR_TYPES
+                and config.detector_type != FeatureDetectorTypes.KEYNET):
+            # (KeyNetExtractor computes its patch descriptors internally)
             self.extractor = _PatchDescribedExtractor(
                 self.extractor, config.descriptor_type.name,
                 checkpoint=config.extra.get("descriptor_checkpoint"))

@@ -21,6 +21,8 @@ class FeatureDetectorTypes(enum.Enum):
     ROOT_SIFT = 9
     R2D2 = 10
     MAST3R = 11
+    D2NET = 12
+    KEYNET = 13
 
 
 class FeatureDescriptorTypes(enum.Enum):
@@ -39,6 +41,7 @@ class FeatureDescriptorTypes(enum.Enum):
     ROOT_SIFT = 11
     R2D2 = 12
     MAST3R = 13
+    D2NET = 14
 
 
 class NormType(enum.Enum):
@@ -70,6 +73,7 @@ FEATURE_INFO = {
     FeatureDescriptorTypes.ROOT_SIFT: FeatureInfo(NormType.L2, 0.9),
     FeatureDescriptorTypes.R2D2: FeatureInfo(NormType.L2, 1.4),
     FeatureDescriptorTypes.MAST3R: FeatureInfo(NormType.L2, 2.0),
+    FeatureDescriptorTypes.D2NET: FeatureInfo(NormType.L2, 2.8),
 }
 
 # descriptor types computed by a patch network over the detector's keypoints
