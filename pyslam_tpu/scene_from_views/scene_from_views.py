@@ -35,6 +35,7 @@ class SceneFromViewsType(enum.Enum):
     MAST3R = "mast3r"
     MVDUST3R = "mvdust3r"
     VGGT = "vggt"
+    VGGT_ROBUST = "vggt_robust"
     FAST3R = "fast3r"
     DEPTH_ANYTHING_V3 = "depth_anything_v3"
 
@@ -215,6 +216,77 @@ class _Mast3rPairAdapter:
         return p1, c1, p2, c2
 
 
+class SceneFromViewsVGGT(SceneFromViewsBase):
+    """VGGT alternating-attention one-forward-pass reconstruction
+    (models/vggt.py; reference ``scene_from_views_vggt.py``).  The robust
+    variant drops outlier views by the anchor-attention mass test
+    (``scene_from_views_vggt_robust.py``)."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None,
+                 conf_threshold: float = 1.5, robust: bool = False,
+                 anchor_mass_quantile: float = 0.2, **kw):
+        super().__init__(camera)
+        from pyslam_tpu.models.vggt import VGGTModel
+
+        self.model = VGGTModel(checkpoint=checkpoint)
+        self.conf_threshold = conf_threshold
+        self.robust = robust
+        self.anchor_mass_quantile = anchor_mass_quantile
+
+    def infer(self, images) -> SceneFromViewsResult:
+        out = self.model.infer_views(images)
+        keep = np.ones(len(images), bool)
+        if self.robust and len(images) > 2:
+            mass = out["anchor_mass"]
+            thr = np.quantile(mass[1:], self.anchor_mass_quantile)
+            keep[1:] = mass[1:] >= min(thr, np.median(mass[1:]) * 0.5)
+        clouds = []
+        for v in range(len(images)):
+            if not keep[v]:
+                continue
+            m = out["conf"][v] > self.conf_threshold
+            clouds.append(out["points"][v][m])
+        pts = np.concatenate(clouds, 0) if clouds else np.zeros((0, 3))
+        return SceneFromViewsResult(poses=out["poses"], points=pts)
+
+
+class SceneFromViewsFast3r(SceneFromViewsBase):
+    """Fast3R one-forward-pass reconstruction over many views
+    (models/fast3r.py; reference ``scene_from_views_fast3r.py``)."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None,
+                 conf_threshold: float = 1.5, **kw):
+        super().__init__(camera)
+        from pyslam_tpu.models.fast3r import Fast3RModel
+
+        self.model = Fast3RModel(checkpoint=checkpoint)
+        self.conf_threshold = conf_threshold
+
+    def infer(self, images) -> SceneFromViewsResult:
+        out = self.model.infer_views(images)
+        V = len(images)
+        clouds = [out["points"][v][out["conf"][v] > self.conf_threshold]
+                  for v in range(V)]
+        pts = np.concatenate(clouds, 0) if clouds else np.zeros((0, 3))
+        # poses via Umeyama between each view's local and global pointmaps
+        from pyslam_tpu.evaluation.metrics import umeyama_np
+
+        poses = []
+        for v in range(V):
+            a = out["local_points"][v].reshape(-1, 3)
+            b = out["points"][v].reshape(-1, 3)
+            ok = np.isfinite(a).all(1) & np.isfinite(b).all(1)
+            try:
+                s, R, t = umeyama_np(a[ok], b[ok], with_scale=True)
+                T = np.eye(4)
+                T[:3, :3] = s * R
+                T[:3, 3] = t
+            except Exception:
+                T = np.eye(4)
+            poses.append(T)
+        return SceneFromViewsResult(poses=np.stack(poses), points=pts)
+
+
 def scene_from_views_factory(
     scene_type=SceneFromViewsType.GEOMETRIC, camera=None, **kw
 ) -> SceneFromViewsBase:
@@ -224,9 +296,15 @@ def scene_from_views_factory(
         return SceneFromViewsGeometric(camera, **kw)
     if scene_type == SceneFromViewsType.MAST3R:
         return SceneFromViewsMast3r(camera, **kw)
-    if scene_type in (SceneFromViewsType.DUST3R, SceneFromViewsType.MVDUST3R,
-                      SceneFromViewsType.VGGT, SceneFromViewsType.FAST3R):
-        # DUST3R runs natively; the sibling multi-view models share the
-        # pairwise pointmap surface until their converters land
+    if scene_type == SceneFromViewsType.VGGT:
+        return SceneFromViewsVGGT(camera, **kw)
+    if scene_type == SceneFromViewsType.VGGT_ROBUST:
+        kw.setdefault("robust", True)
+        return SceneFromViewsVGGT(camera, **kw)
+    if scene_type == SceneFromViewsType.FAST3R:
+        return SceneFromViewsFast3r(camera, **kw)
+    if scene_type in (SceneFromViewsType.DUST3R, SceneFromViewsType.MVDUST3R):
+        # DUST3R runs natively; MV-DUSt3R shares the pairwise pointmap
+        # surface (its multi-view decoder is the MASt3R/VGGT family)
         return SceneFromViewsDust3r(camera, **kw)
     raise NotImplementedError(scene_type)
