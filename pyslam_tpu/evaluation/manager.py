@@ -173,4 +173,16 @@ class SlamEvaluationManager:
                     f"{int(np.mean([r.num_keyframes for r in rs]))} | "
                     f"{int(np.mean([r.num_points for r in rs]))} |\n"
                 )
+        # LaTeX / HTML / PDF comparative reports (reference
+        # slam_evaluation_manager.py:574-596)
+        from pyslam_tpu.evaluation.report_formats import (
+            csv_list_to_html, csv_list_to_latex, csv_list_to_pdf)
+
+        tables = [os.path.join(self.out_dir, n)
+                  for n in ("table_rmse.csv", "table_percent_lost.csv",
+                            "runs.csv")]
+        tables = [t for t in tables if os.path.exists(t)]
+        csv_list_to_latex(tables, os.path.join(self.out_dir, "report.tex"))
+        csv_list_to_html(tables, os.path.join(self.out_dir, "report.html"))
+        csv_list_to_pdf(tables, os.path.join(self.out_dir, "report.pdf"))
         Printer.green(f"[eval] reports written to {self.out_dir}")
