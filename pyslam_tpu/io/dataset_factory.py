@@ -71,14 +71,17 @@ def dataset_factory(config) -> DatasetBase:
             d.get("camera_id", 0), d.get("num_frames", 10 ** 9),
             d.get("fps", 30.0), sensor,
         )
-    if ds_type in (DatasetType.ROS2BAG, DatasetType.ROS1BAG):
+    if ds_type == DatasetType.ROS1BAG:
+        from pyslam_tpu.io.ros1bag import Ros1BagDataset
+
+        return Ros1BagDataset(
+            base, d["topic"], right_topic=d.get("right_topic"),
+            depth_topic=d.get("depth_topic"),
+            max_dt=d.get("sync_tol_ms", 50.0) / 1000.0,
+        )
+    if ds_type == DatasetType.ROS2BAG:
         from pyslam_tpu.io.ros2bag import Ros2BagDataset
 
-        if ds_type == DatasetType.ROS1BAG:
-            raise ValueError(
-                "ROS1 bags are not supported natively; convert with "
-                "'rosbags-convert' to rosbag2 (.db3) first"
-            )
         return Ros2BagDataset(
             base, d["topic"], d.get("right_topic"), d.get("depth_topic"),
             sensor_type=sensor if "sensor_type" in d else None,
