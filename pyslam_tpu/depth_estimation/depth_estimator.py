@@ -134,6 +134,24 @@ class DepthEstimatorRaft(DepthEstimator):
         return depth, self._depth_to_points(depth)
 
 
+class DepthEstimatorCREStereo(DepthEstimatorRaft):
+    """CREStereo-class cascaded recurrent stereo (models/crestereo.py;
+    reference ``depth_estimator_crestereo_pytorch.py`` /
+    ``_megengine.py``)."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None, **kw):
+        DepthEstimator.__init__(self, camera, **kw)
+        from pyslam_tpu.models.crestereo import CREStereo
+
+        self.model = CREStereo()
+        if checkpoint:
+            from pyslam_tpu.models.torch_convert import load_variables_npz
+
+            self.model._ensure_params((240, 320))
+            self.model.params = load_variables_npz(
+                checkpoint, self.model.params)
+
+
 class DepthEstimatorMast3r(DepthEstimator):
     """DEPTH_MAST3R / DEPTH_MVDUST3R: metric depth from the view-1 pointmap
     of a MASt3R-class two-view network (reference
@@ -176,7 +194,10 @@ def depth_estimator_factory(
     if t in (DepthEstimatorType.DEPTH_RAFT_STEREO,
              DepthEstimatorType.DEPTH_CRESTEREO_PYTORCH):
         if kw.get("checkpoint"):
-            return DepthEstimatorRaft(camera, max_depth=max_depth, **kw)
+            cls = (DepthEstimatorCREStereo
+                   if t == DepthEstimatorType.DEPTH_CRESTEREO_PYTORCH
+                   else DepthEstimatorRaft)
+            return cls(camera, max_depth=max_depth, **kw)
         # no weights: the SGM path is the zero-weights production fallback
         kw.pop("checkpoint", None)
         return DepthEstimatorSgbm(camera, max_depth=max_depth, **kw)
