@@ -164,6 +164,14 @@ class FeatureTrackerConfigs:
         num_levels=1,
         ratio_test=0.8,
     )
+    ALIKED = FeatureTrackerConfig(
+        name="ALIKED",
+        detector_type=FeatureDetectorTypes.ALIKED,
+        descriptor_type=FeatureDescriptorTypes.ALIKED,
+        num_features=2000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
     R2D2 = FeatureTrackerConfig(
         name="R2D2",
         detector_type=FeatureDetectorTypes.R2D2,
@@ -289,6 +297,13 @@ class FeatureTracker:
                 if config.descriptor_type.name in ("HARDNET", "SOSNET",
                                                    "L2NET", "TFEAT")
                 else "HARDNET")
+            self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.ALIKED:
+            from pyslam_tpu.models.aliked import AlikedExtractor
+
+            self.extractor = AlikedExtractor(
+                num_features=config.num_features,
+                checkpoint=config.extra.get("checkpoint"))
             self.norm = NormType.L2
         elif config.detector_type == FeatureDetectorTypes.R2D2:
             from pyslam_tpu.models.r2d2 import R2D2Extractor
