@@ -112,6 +112,29 @@ class DepthEstimatorDepthAnything(DepthEstimator):
         return depth.astype(np.float32), self._depth_to_points(depth)
 
 
+class DepthEstimatorDepthAnythingV3(DepthEstimator):
+    """DEPTH_ANYTHING_V3: metric depth from the DA3 any-view model
+    (models/depth_anything_v3.py; reference
+    ``depth_estimator_depth_anything_v3.py``) run on a single view."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None, **kw):
+        super().__init__(camera, **kw)
+        from pyslam_tpu.models.depth_anything_v3 import DepthAnything3
+
+        self.model = DepthAnything3(checkpoint=checkpoint)
+
+    def infer(self, img, img_right=None):
+        out = self.model.inference([img])
+        d = out["depth"][0]
+        h, w = np.asarray(img).shape[:2]
+        mh, mw = d.shape
+        ys = np.clip((np.arange(h) * mh / h).astype(int), 0, mh - 1)
+        xs = np.clip((np.arange(w) * mw / w).astype(int), 0, mw - 1)
+        depth = np.clip(d[np.ix_(ys, xs)], 0.0, self.max_depth)
+        depth = depth.astype(np.float32)
+        return depth, self._depth_to_points(depth)
+
+
 class DepthEstimatorRaft(DepthEstimator):
     """RAFT-class recurrent stereo (models/raft_stereo.py)."""
 
@@ -203,8 +226,9 @@ def depth_estimator_factory(
         return DepthEstimatorSgbm(camera, max_depth=max_depth, **kw)
     if t == DepthEstimatorType.DEPTH_SGBM:
         return DepthEstimatorSgbm(camera, max_depth=max_depth, **kw)
+    if t == DepthEstimatorType.DEPTH_ANYTHING_V3:
+        return DepthEstimatorDepthAnythingV3(camera, max_depth=max_depth, **kw)
     if t in (DepthEstimatorType.DEPTH_ANYTHING_V2,
-             DepthEstimatorType.DEPTH_ANYTHING_V3,
              DepthEstimatorType.DEPTH_PRO):
         return DepthEstimatorDepthAnything(camera, max_depth=max_depth, **kw)
     if t in (DepthEstimatorType.DEPTH_MAST3R,

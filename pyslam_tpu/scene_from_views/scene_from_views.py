@@ -287,6 +287,29 @@ class SceneFromViewsFast3r(SceneFromViewsBase):
         return SceneFromViewsResult(poses=np.stack(poses), points=pts)
 
 
+class SceneFromViewsDepthAnythingV3(SceneFromViewsBase):
+    """DA3 any-view reconstruction (models/depth_anything_v3.py; reference
+    ``scene_from_views_depth_anything_v3.py``): one forward pass predicts
+    per-view metric depth + world-frame ray maps; cameras are recovered
+    from the rays and world points come directly from origin + depth*dir,
+    so the merged cloud needs no alignment optimization."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None,
+                 conf_threshold: float = 0.5, **kw):
+        super().__init__(camera)
+        from pyslam_tpu.models.depth_anything_v3 import DepthAnything3
+
+        self.model = DepthAnything3(checkpoint=checkpoint)
+        self.conf_threshold = conf_threshold
+
+    def infer(self, images) -> SceneFromViewsResult:
+        out = self.model.inference(images)
+        clouds = [out["points"][v][out["conf"][v] > self.conf_threshold]
+                  for v in range(len(images))]
+        pts = np.concatenate(clouds, 0) if clouds else np.zeros((0, 3))
+        return SceneFromViewsResult(poses=out["poses"], points=pts)
+
+
 def scene_from_views_factory(
     scene_type=SceneFromViewsType.GEOMETRIC, camera=None, **kw
 ) -> SceneFromViewsBase:
@@ -303,6 +326,8 @@ def scene_from_views_factory(
         return SceneFromViewsVGGT(camera, **kw)
     if scene_type == SceneFromViewsType.FAST3R:
         return SceneFromViewsFast3r(camera, **kw)
+    if scene_type == SceneFromViewsType.DEPTH_ANYTHING_V3:
+        return SceneFromViewsDepthAnythingV3(camera, **kw)
     if scene_type in (SceneFromViewsType.DUST3R, SceneFromViewsType.MVDUST3R):
         # DUST3R runs natively; MV-DUSt3R shares the pairwise pointmap
         # surface (its multi-view decoder is the MASt3R/VGGT family)
