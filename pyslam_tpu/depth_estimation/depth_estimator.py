@@ -135,6 +135,26 @@ class DepthEstimatorDepthAnythingV3(DepthEstimator):
         return depth, self._depth_to_points(depth)
 
 
+class DepthEstimatorDepthPro(DepthEstimator):
+    """DEPTH_PRO: metric depth from the DepthPro multi-scale ViT
+    (models/depth_pro.py; reference ``depth_estimator_depth_pro.py``).
+    Uses the calibrated camera focal when available, else the model's
+    FOV-head estimate."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None,
+                 cfg=None, **kw):
+        super().__init__(camera, **kw)
+        from pyslam_tpu.models.depth_pro import DepthPro
+
+        self.model = DepthPro(cfg=cfg, checkpoint=checkpoint)
+
+    def infer(self, img, img_right=None):
+        f_px = self.camera.fx if self.camera is not None else None
+        depth, _ = self.model.infer(img, f_px=f_px)
+        depth = np.clip(depth, 0.0, self.max_depth).astype(np.float32)
+        return depth, self._depth_to_points(depth)
+
+
 class DepthEstimatorRaft(DepthEstimator):
     """RAFT-class recurrent stereo (models/raft_stereo.py)."""
 
@@ -228,8 +248,9 @@ def depth_estimator_factory(
         return DepthEstimatorSgbm(camera, max_depth=max_depth, **kw)
     if t == DepthEstimatorType.DEPTH_ANYTHING_V3:
         return DepthEstimatorDepthAnythingV3(camera, max_depth=max_depth, **kw)
-    if t in (DepthEstimatorType.DEPTH_ANYTHING_V2,
-             DepthEstimatorType.DEPTH_PRO):
+    if t == DepthEstimatorType.DEPTH_PRO:
+        return DepthEstimatorDepthPro(camera, max_depth=max_depth, **kw)
+    if t == DepthEstimatorType.DEPTH_ANYTHING_V2:
         return DepthEstimatorDepthAnything(camera, max_depth=max_depth, **kw)
     if t in (DepthEstimatorType.DEPTH_MAST3R,
              DepthEstimatorType.DEPTH_MVDUST3R):
