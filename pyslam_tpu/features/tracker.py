@@ -206,6 +206,55 @@ class FeatureTrackerConfigs:
     ORB2_TFEAT = FeatureTrackerConfig(
         name="ORB2_TFEAT", descriptor_type=FeatureDescriptorTypes.TFEAT,
     )
+    SURF = FeatureTrackerConfig(
+        name="SURF",
+        detector_type=FeatureDetectorTypes.SURF,
+        descriptor_type=FeatureDescriptorTypes.SURF,
+        num_features=1000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
+    BRISK = FeatureTrackerConfig(  # FAST-pyramid detector (AGAST-class)
+        name="BRISK", descriptor_type=FeatureDescriptorTypes.BRISK,
+    )
+    ORB2_FREAK = FeatureTrackerConfig(
+        name="ORB2_FREAK", descriptor_type=FeatureDescriptorTypes.FREAK,
+    )
+    ORB2_BEBLID = FeatureTrackerConfig(
+        name="ORB2_BEBLID", descriptor_type=FeatureDescriptorTypes.BEBLID,
+    )
+    ORB2_GEODESC = FeatureTrackerConfig(
+        name="ORB2_GEODESC", descriptor_type=FeatureDescriptorTypes.GEODESC,
+    )
+    GEODESC = FeatureTrackerConfig(  # reference GEODESC preset slot
+        name="GEODESC", descriptor_type=FeatureDescriptorTypes.GEODESC,
+    )
+    LOGPOLAR = FeatureTrackerConfig(
+        name="LOGPOLAR", descriptor_type=FeatureDescriptorTypes.LOGPOLAR,
+    )
+    CONTEXTDESC = FeatureTrackerConfig(  # SIFT kps re-described (reference)
+        name="CONTEXTDESC",
+        detector_type=FeatureDetectorTypes.SIFT,
+        descriptor_type=FeatureDescriptorTypes.CONTEXTDESC,
+        num_levels=16,
+        ratio_test=0.8,
+    )
+    LFNET = FeatureTrackerConfig(
+        name="LFNET",
+        detector_type=FeatureDetectorTypes.LFNET,
+        descriptor_type=FeatureDescriptorTypes.LFNET,
+        num_features=1000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
+    DELF = FeatureTrackerConfig(
+        name="DELF",
+        detector_type=FeatureDetectorTypes.DELF,
+        descriptor_type=FeatureDescriptorTypes.DELF,
+        num_features=1000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
     XFEAT_LIGHTGLUE = FeatureTrackerConfig(
         name="XFEAT_LIGHTGLUE",
         detector_type=FeatureDetectorTypes.XFEAT,
@@ -244,6 +293,30 @@ class _PatchDescribedExtractor:
         des = self.descriptor.compute(
             np.asarray(img, np.float32),
             np.asarray(fd.xy), np.asarray(fd.size), np.asarray(fd.angle))
+        return fd._replace(desc=des)
+
+
+class _ContextDescribedExtractor:
+    """Detector + ContextDesc augmentation: re-describe the detector's
+    keypoints with context-augmented descriptors (reference CONTEXTDESC
+    preset runs over SIFT keypoints)."""
+
+    def __init__(self, base, checkpoint=None):
+        from pyslam_tpu.models.contextdesc import ContextDescExtractor
+
+        self.base = base
+        self.descriptor = ContextDescExtractor(checkpoint=checkpoint)
+        self.scale_factors = base.scale_factors
+        self.sigma2 = base.sigma2
+
+    def __call__(self, img):
+        fd = self.base(img)
+        gray = np.asarray(img, np.float32)
+        if gray.ndim == 3:
+            gray = gray.mean(-1)
+        des = self.descriptor.compute(
+            gray, np.asarray(fd.xy), np.asarray(fd.size),
+            np.asarray(fd.angle))
         return fd._replace(desc=des)
 
 
@@ -322,12 +395,33 @@ class FeatureTracker:
                 root_sift=config.detector_type == FeatureDetectorTypes.ROOT_SIFT,
             )
             self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.SURF:
+            from pyslam_tpu.features.surf import SurfExtractor
+
+            self.extractor = SurfExtractor(
+                num_features=config.num_features)
+            self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.LFNET:
+            from pyslam_tpu.models.lfnet import LFNetExtractor
+
+            self.extractor = LFNetExtractor(
+                num_features=config.num_features,
+                checkpoint=config.extra.get("checkpoint"))
+            self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.DELF:
+            from pyslam_tpu.models.delf import DELFExtractor
+
+            self.extractor = DELFExtractor(
+                num_features=config.num_features,
+                checkpoint=config.extra.get("checkpoint"))
+            self.norm = NormType.L2
         else:
             raise ValueError(f"detector not supported: {config.detector_type}")
 
         # descriptor replacement: a patch network (HardNet/SOSNet/L2Net/
-        # TFeat) computed over the detector's oriented keypoints (reference
-        # presets ORB2_HARDNET/.._SOSNET/.._L2NET, feature_tracker_configs.py)
+        # TFeat/GeoDesc/LogPolar) computed over the detector's oriented
+        # keypoints (reference presets ORB2_HARDNET/.._SOSNET/.._L2NET,
+        # feature_tracker_configs.py)
         from pyslam_tpu.features.types import PATCH_DESCRIPTOR_TYPES
 
         if (config.descriptor_type in PATCH_DESCRIPTOR_TYPES
@@ -337,6 +431,20 @@ class FeatureTracker:
                 self.extractor, config.descriptor_type.name,
                 checkpoint=config.extra.get("descriptor_checkpoint"))
             self.norm = NormType.L2
+        elif config.descriptor_type == FeatureDescriptorTypes.CONTEXTDESC:
+            self.extractor = _ContextDescribedExtractor(
+                self.extractor,
+                checkpoint=config.extra.get("descriptor_checkpoint"))
+            self.norm = NormType.L2
+        elif config.descriptor_type in (FeatureDescriptorTypes.BRISK,
+                                        FeatureDescriptorTypes.FREAK,
+                                        FeatureDescriptorTypes.BEBLID):
+            from pyslam_tpu.features.binary_descriptors import (
+                BinaryDescribedExtractor)
+
+            self.extractor = BinaryDescribedExtractor(
+                self.extractor, config.descriptor_type.name)
+            self.norm = NormType.HAMMING
 
         info = FEATURE_INFO.get(config.descriptor_type)
         if config.tracker_type == FeatureTrackerTypes.LIGHTGLUE:

@@ -23,6 +23,10 @@ class FeatureDetectorTypes(enum.Enum):
     MAST3R = 11
     D2NET = 12
     KEYNET = 13
+    LFNET = 14
+    DELF = 15
+    CONTEXTDESC = 16  # SIFT keypoints re-described (reference wrapper)
+    SURF = 17         # TPU-native box-filter Hessian (features/surf.py)
 
 
 class FeatureDescriptorTypes(enum.Enum):
@@ -42,6 +46,16 @@ class FeatureDescriptorTypes(enum.Enum):
     R2D2 = 12
     MAST3R = 13
     D2NET = 14
+    GEODESC = 15
+    LOGPOLAR = 16
+    LFNET = 17
+    DELF = 18
+    CONTEXTDESC = 19
+    # TPU-native classical binary patterns (features/binary_descriptors.py)
+    BRISK = 20
+    FREAK = 21
+    BEBLID = 22
+    SURF = 23
 
 
 class NormType(enum.Enum):
@@ -74,6 +88,16 @@ FEATURE_INFO = {
     FeatureDescriptorTypes.R2D2: FeatureInfo(NormType.L2, 1.4),
     FeatureDescriptorTypes.MAST3R: FeatureInfo(NormType.L2, 2.0),
     FeatureDescriptorTypes.D2NET: FeatureInfo(NormType.L2, 2.8),
+    FeatureDescriptorTypes.GEODESC: FeatureInfo(NormType.L2, 1.8),
+    FeatureDescriptorTypes.LOGPOLAR: FeatureInfo(NormType.L2, 1.8),
+    FeatureDescriptorTypes.LFNET: FeatureInfo(NormType.L2, 2.0),
+    FeatureDescriptorTypes.DELF: FeatureInfo(NormType.L2, 1.5),
+    FeatureDescriptorTypes.CONTEXTDESC: FeatureInfo(NormType.L2, 1.8),
+    # 512-bit patterns: gates scaled from ORB's 100/256 acceptance ratio
+    FeatureDescriptorTypes.BRISK: FeatureInfo(NormType.HAMMING, 200.0),
+    FeatureDescriptorTypes.FREAK: FeatureInfo(NormType.HAMMING, 200.0),
+    FeatureDescriptorTypes.BEBLID: FeatureInfo(NormType.HAMMING, 200.0),
+    FeatureDescriptorTypes.SURF: FeatureInfo(NormType.L2, 0.3),
 }
 
 # descriptor types computed by a patch network over the detector's keypoints
@@ -82,4 +106,6 @@ PATCH_DESCRIPTOR_TYPES = (
     FeatureDescriptorTypes.SOSNET,
     FeatureDescriptorTypes.L2NET,
     FeatureDescriptorTypes.TFEAT,
+    FeatureDescriptorTypes.GEODESC,
+    FeatureDescriptorTypes.LOGPOLAR,
 )

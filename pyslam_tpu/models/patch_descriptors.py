@@ -157,6 +157,45 @@ class TFeat(nn.Module):
         return jnp.tanh(x)
 
 
+class GeoDesc(nn.Module):
+    """GeoDesc tower (reference thirdparty/contextdesc cnn_wrapper
+    descnet.py GeoDesc; wrapper feature_geodesc.py): per-patch
+    standardization, 6 conv-BN-relu layers (32,32,64s2,64,128s2,128),
+    a bias-free 8x8 VALID conv to 128 and L2 normalization."""
+
+    @nn.compact
+    def __call__(self, patches, return_inter: bool = False):  # (N, 32, 32)
+        x = patches[..., None]
+        x = _instance_norm(x)                        # per-patch moments norm
+        chans = ((32, 1), (32, 1), (64, 2), (64, 1), (128, 2), (128, 1))
+        for i, (ch, s) in enumerate(chans):
+            x = nn.Conv(ch, (3, 3), strides=(s, s), padding="SAME",
+                        use_bias=False, name=f"conv{i}")(x)
+            x = _BN(ch, affine=True, eps=1e-5, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        inter = x                                    # conv5: (N, 8, 8, 128)
+        x = nn.Conv(128, (8, 8), padding="VALID", use_bias=False,
+                    name="conv6")(x)                 # (N, 1, 1, 128)
+        d = x.reshape(x.shape[0], -1)
+        d = d / jnp.sqrt((d * d).sum(axis=1, keepdims=True) + 1e-10)
+        return (d, inter) if return_inter else d
+
+
+class LogPolarDesc(nn.Module):
+    """Log-polar descriptor net ("Beyond Cartesian Representations";
+    reference wrapper feature_logpolar.py): HardNet-style tower over
+    LOG-POLAR sampled patches (ops/patches.extract_log_polar_patches) —
+    rotation becomes a cyclic column shift of the input."""
+
+    @nn.compact
+    def __call__(self, patches):  # (N, 32, 32) log-polar layout
+        x = patches[..., None]
+        x = _input_norm_unbiased(x)
+        d = _L2NetBackbone(use_bias=False, bn_affine=False, bn_eps=1e-5,
+                           name="features")(x)
+        return d / jnp.sqrt((d * d).sum(axis=1, keepdims=True) + 1e-10)
+
+
 # --------------------------------------------------------------- converters
 def _backbone_from_torch(sd, prefix="features", with_bias=False,
                          with_affine=False):
@@ -233,11 +272,20 @@ def tfeat_from_torch(state_dict):
     return {"params": params}
 
 
+def logpolar_from_torch(state_dict):
+    """The official log-polar descriptor ships a HardNet-layout embedding
+    net; reuse the ordered-backbone mapping."""
+    return hardnet_from_torch(state_dict)
+
+
+# name -> (cls, converter, mag_factor[, sampler])
 PATCH_DESCRIPTOR_REGISTRY = {
-    "HARDNET": (HardNet, hardnet_from_torch, 1.0),   # name -> (cls, converter, mag_factor)
+    "HARDNET": (HardNet, hardnet_from_torch, 1.0),
     "SOSNET": (SOSNet, sosnet_from_torch, 3.0),
     "L2NET": (L2Net, l2net_from_torch, 1.0),
     "TFEAT": (TFeat, tfeat_from_torch, 3.0),
+    "GEODESC": (GeoDesc, None, 3.0),                 # TF1 origin: npz only
+    "LOGPOLAR": (LogPolarDesc, logpolar_from_torch, 3.0, "logpolar"),
 }
 
 
@@ -251,23 +299,28 @@ class PatchDescriptorExtractor:
     """
 
     def __init__(self, kind: str, variables=None, rng_seed: int = 0):
-        from pyslam_tpu.ops.patches import extract_oriented_patches
+        from pyslam_tpu.ops.patches import (extract_log_polar_patches,
+                                            extract_oriented_patches)
 
-        cls, self._converter, self.mag_factor = PATCH_DESCRIPTOR_REGISTRY[kind]
+        entry = PATCH_DESCRIPTOR_REGISTRY[kind]
+        cls, self._converter, self.mag_factor = entry[:3]
+        sampler = entry[3] if len(entry) > 3 else "cartesian"
         self.kind = kind
         self.model = cls()
         if variables is None:
             variables = self.model.init(
                 jax.random.PRNGKey(rng_seed), jnp.zeros((1, 32, 32)))
         self.variables = variables
-        self._extract = extract_oriented_patches
+        extract = (extract_log_polar_patches if sampler == "logpolar"
+                   else extract_oriented_patches)
+        self._extract = extract
 
         mag = self.mag_factor
         model = self.model
 
         @jax.jit
         def _describe(variables, img, xys, sizes, angles):
-            patches = extract_oriented_patches(
+            patches = extract(
                 img, xys, sizes, angles, patch_size=32, mag_factor=mag)
             return model.apply(variables, patches)
 
@@ -276,6 +329,10 @@ class PatchDescriptorExtractor:
     def load_torch(self, path: str):
         import torch
 
+        if self._converter is None:
+            raise NotImplementedError(
+                f"{self.kind}: TF1-era weights — supply converted .npz "
+                "variables instead (models/torch_convert.load_variables_npz)")
         sd = torch.load(path, map_location="cpu")
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]

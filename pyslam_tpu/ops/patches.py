@@ -95,3 +95,42 @@ def extract_oriented_patches(
 
     return jax.vmap(one)(cos, sin, xys[:, 0].astype(jnp.float32),
                          xys[:, 1].astype(jnp.float32))
+
+
+def extract_log_polar_patches(
+    img: jnp.ndarray,
+    xys: jnp.ndarray,
+    sizes: jnp.ndarray,
+    angles_deg: jnp.ndarray,
+    patch_size: int = 32,
+    mag_factor: float = 3.0,
+    min_radius: float = 0.7,
+) -> jnp.ndarray:
+    """Batched LOG-POLAR patch sampling ("Beyond Cartesian Representations
+    for Local Descriptors"; reference wrapper feature_logpolar.py).
+
+    Output rows are log-spaced radii (min_radius .. mag*size/2), columns
+    are angles offset by the keypoint orientation — scale changes become
+    row shifts and rotations become column shifts, which is what makes the
+    log-polar descriptor scale/rotation-equivariant.
+
+    Returns: (N, patch_size, patch_size) float32 patches.
+    """
+    img = img.astype(jnp.float32)
+    P = patch_size
+    max_r = jnp.maximum(mag_factor * sizes.astype(jnp.float32) * 0.5,
+                        min_radius + 1e-3)
+    a0 = jnp.where(angles_deg >= 0, angles_deg, 0.0) * (np.pi / 180.0)
+    i = jnp.arange(P, dtype=jnp.float32)
+    # radii (rows): min_radius * (max_r/min_radius)^(i/(P-1))
+    log_ratio = jnp.log(max_r / min_radius)[:, None]          # (N, 1)
+    rho = min_radius * jnp.exp(log_ratio * (i[None, :] / (P - 1)))  # (N, P)
+    theta = a0[:, None] + 2.0 * np.pi * i[None, :] / P        # (N, P)
+
+    def one(r, t, x, y):
+        src_x = x + r[:, None] * jnp.cos(t)[None, :]
+        src_y = y + r[:, None] * jnp.sin(t)[None, :]
+        return _bilinear_gather(img, src_x, src_y)
+
+    return jax.vmap(one)(rho, theta, xys[:, 0].astype(jnp.float32),
+                         xys[:, 1].astype(jnp.float32))
