@@ -60,16 +60,33 @@ class LoopDetector:
             from pyslam_tpu.loop_closing.vlad import VladVocabulary
 
             self.vlad = VladVocabulary(num_clusters=config.num_words)
-        if gdt in (GlobalDescriptorType.NETVLAD, GlobalDescriptorType.MEGALOC):
-            # NetVLAD-class learned global descriptor (same score-based DB
-            # path; MEGALOC shares the NetVLAD graph slot until its
-            # converter lands)
+        if gdt == GlobalDescriptorType.NETVLAD:
             from pyslam_tpu.models.netvlad import NetVLADExtractor
 
             Parameters.kRetainImageForVPR = True
             self.netvlad = NetVLADExtractor(
                 checkpoint=config.extra.get("checkpoint")
             )
+        if gdt == GlobalDescriptorType.MEGALOC:
+            # MegaLoc: DINOv2-class ViT + SALAD Sinkhorn aggregation
+            from pyslam_tpu.models.megaloc import MegaLocExtractor
+
+            Parameters.kRetainImageForVPR = True
+            self.netvlad = MegaLocExtractor(
+                checkpoint=config.extra.get("checkpoint")
+            )
+        if gdt == GlobalDescriptorType.ALEXNET:
+            from pyslam_tpu.loop_closing.vpr import AlexNetExtractor
+
+            Parameters.kRetainImageForVPR = True
+            self.netvlad = AlexNetExtractor(
+                checkpoint=config.extra.get("checkpoint")
+            )
+        if gdt == GlobalDescriptorType.HDC_DELF:
+            from pyslam_tpu.loop_closing.vpr import HDCDelfExtractor
+
+            Parameters.kRetainImageForVPR = True
+            self.netvlad = HDCDelfExtractor()
         if gdt in (GlobalDescriptorType.COSPLACE,
                    GlobalDescriptorType.EIGENPLACES):
             # gmberton CosPlace / EigenPlaces (ResNet + GeM + Linear); same
@@ -84,6 +101,7 @@ class LoopDetector:
             GlobalDescriptorType.VLAD, GlobalDescriptorType.SAD,
             GlobalDescriptorType.NETVLAD, GlobalDescriptorType.COSPLACE,
             GlobalDescriptorType.EIGENPLACES, GlobalDescriptorType.MEGALOC,
+            GlobalDescriptorType.ALEXNET, GlobalDescriptorType.HDC_DELF,
         )
 
     def describe_frame(self, frame):

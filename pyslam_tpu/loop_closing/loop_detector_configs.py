@@ -90,6 +90,22 @@ class LoopDetectorConfigs:
     NETVLAD = LoopDetectorConfig(
         name="NETVLAD", global_descriptor_type=GlobalDescriptorType.NETVLAD
     )
+    COSPLACE = LoopDetectorConfig(
+        name="COSPLACE", global_descriptor_type=GlobalDescriptorType.COSPLACE
+    )
+    EIGENPLACES = LoopDetectorConfig(
+        name="EIGENPLACES",
+        global_descriptor_type=GlobalDescriptorType.EIGENPLACES,
+    )
+    MEGALOC = LoopDetectorConfig(
+        name="MEGALOC", global_descriptor_type=GlobalDescriptorType.MEGALOC
+    )
+    ALEXNET = LoopDetectorConfig(
+        name="ALEXNET", global_descriptor_type=GlobalDescriptorType.ALEXNET
+    )
+    HDC_DELF = LoopDetectorConfig(
+        name="HDC_DELF", global_descriptor_type=GlobalDescriptorType.HDC_DELF
+    )
 
     @staticmethod
     def get(name: str) -> LoopDetectorConfig:
