@@ -135,6 +135,30 @@ class DepthEstimatorDepthAnythingV3(DepthEstimator):
         return depth, self._depth_to_points(depth)
 
 
+class DepthEstimatorMVDust3r(DepthEstimator):
+    """DEPTH_MVDUST3R: depth from the MV-DUSt3R local pointmap of view 0
+    (models/mvdust3r.py; reference ``depth_estimator_mvdust3r.py``).
+    Uses (img, img_right) as two views when a right image exists."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None, **kw):
+        super().__init__(camera, **kw)
+        from pyslam_tpu.models.mvdust3r import MVDust3rModel
+
+        self.model = MVDust3rModel(checkpoint=checkpoint)
+
+    def infer(self, img, img_right=None):
+        views = [img] if img_right is None else [img, img_right]
+        out = self.model.infer_views(views)
+        d = out["local_points"][0][..., 2]
+        h, w = np.asarray(img).shape[:2]
+        mh, mw = d.shape
+        ys = np.clip((np.arange(h) * mh / h).astype(int), 0, mh - 1)
+        xs = np.clip((np.arange(w) * mw / w).astype(int), 0, mw - 1)
+        depth = np.clip(d[np.ix_(ys, xs)], 0.0, self.max_depth)
+        depth = depth.astype(np.float32)
+        return depth, self._depth_to_points(depth)
+
+
 class DepthEstimatorDepthPro(DepthEstimator):
     """DEPTH_PRO: metric depth from the DepthPro multi-scale ViT
     (models/depth_pro.py; reference ``depth_estimator_depth_pro.py``).
@@ -252,7 +276,8 @@ def depth_estimator_factory(
         return DepthEstimatorDepthPro(camera, max_depth=max_depth, **kw)
     if t == DepthEstimatorType.DEPTH_ANYTHING_V2:
         return DepthEstimatorDepthAnything(camera, max_depth=max_depth, **kw)
-    if t in (DepthEstimatorType.DEPTH_MAST3R,
-             DepthEstimatorType.DEPTH_MVDUST3R):
+    if t == DepthEstimatorType.DEPTH_MVDUST3R:
+        return DepthEstimatorMVDust3r(camera, max_depth=max_depth, **kw)
+    if t == DepthEstimatorType.DEPTH_MAST3R:
         return DepthEstimatorMast3r(camera, max_depth=max_depth, **kw)
     raise NotImplementedError(f"depth estimator {t}")

@@ -287,6 +287,28 @@ class SceneFromViewsFast3r(SceneFromViewsBase):
         return SceneFromViewsResult(poses=np.stack(poses), points=pts)
 
 
+class SceneFromViewsMVDust3r(SceneFromViewsBase):
+    """MV-DUSt3R(+) single-stage multi-view reconstruction
+    (models/mvdust3r.py; reference ``scene_from_views_mvdust3r.py``):
+    every view's pointmap lands in the reference frame in one forward
+    pass, so fusion is a confidence-gated concatenation."""
+
+    def __init__(self, camera=None, checkpoint: str | None = None,
+                 conf_threshold: float = 1.5, num_refs: int = 1, **kw):
+        super().__init__(camera)
+        from pyslam_tpu.models.mvdust3r import MVDust3rModel
+
+        self.model = MVDust3rModel(checkpoint=checkpoint, num_refs=num_refs)
+        self.conf_threshold = conf_threshold
+
+    def infer(self, images) -> SceneFromViewsResult:
+        out = self.model.infer_views(images)
+        clouds = [out["points"][v][out["conf"][v] > self.conf_threshold]
+                  for v in range(len(images))]
+        pts = np.concatenate(clouds, 0) if clouds else np.zeros((0, 3))
+        return SceneFromViewsResult(poses=out["poses"], points=pts)
+
+
 class SceneFromViewsDepthAnythingV3(SceneFromViewsBase):
     """DA3 any-view reconstruction (models/depth_anything_v3.py; reference
     ``scene_from_views_depth_anything_v3.py``): one forward pass predicts
@@ -328,8 +350,8 @@ def scene_from_views_factory(
         return SceneFromViewsFast3r(camera, **kw)
     if scene_type == SceneFromViewsType.DEPTH_ANYTHING_V3:
         return SceneFromViewsDepthAnythingV3(camera, **kw)
-    if scene_type in (SceneFromViewsType.DUST3R, SceneFromViewsType.MVDUST3R):
-        # DUST3R runs natively; MV-DUSt3R shares the pairwise pointmap
-        # surface (its multi-view decoder is the MASt3R/VGGT family)
+    if scene_type == SceneFromViewsType.MVDUST3R:
+        return SceneFromViewsMVDust3r(camera, **kw)
+    if scene_type == SceneFromViewsType.DUST3R:
         return SceneFromViewsDust3r(camera, **kw)
     raise NotImplementedError(scene_type)
