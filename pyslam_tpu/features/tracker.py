@@ -214,6 +214,49 @@ class FeatureTrackerConfigs:
         num_levels=1,
         ratio_test=0.8,
     )
+    KAZE = FeatureTrackerConfig(
+        name="KAZE",
+        detector_type=FeatureDetectorTypes.KAZE,
+        descriptor_type=FeatureDescriptorTypes.KAZE,
+        num_features=1000,
+        num_levels=1,
+        ratio_test=0.8,
+    )
+    AKAZE = FeatureTrackerConfig(
+        name="AKAZE",
+        detector_type=FeatureDetectorTypes.AKAZE,
+        descriptor_type=FeatureDescriptorTypes.AKAZE,
+        num_features=1000,
+        num_levels=1,
+    )
+    # LightGlue attention matcher over alternative extractors (reference
+    # presets LIGHTGLUE_DISK / LIGHTGLUE_ALIKED / LIGHTGLUE_SIFT)
+    LIGHTGLUE_DISK = FeatureTrackerConfig(
+        name="LIGHTGLUE_DISK",
+        detector_type=FeatureDetectorTypes.DISK,
+        descriptor_type=FeatureDescriptorTypes.DISK,
+        tracker_type=FeatureTrackerTypes.LIGHTGLUE,
+        num_features=2000,
+        num_levels=1,
+        extra={"desc_dim": 128},
+    )
+    LIGHTGLUE_ALIKED = FeatureTrackerConfig(
+        name="LIGHTGLUE_ALIKED",
+        detector_type=FeatureDetectorTypes.ALIKED,
+        descriptor_type=FeatureDescriptorTypes.ALIKED,
+        tracker_type=FeatureTrackerTypes.LIGHTGLUE,
+        num_features=2000,
+        num_levels=1,
+        extra={"desc_dim": 128},
+    )
+    LIGHTGLUE_SIFT = FeatureTrackerConfig(
+        name="LIGHTGLUE_SIFT",
+        detector_type=FeatureDetectorTypes.SIFT,
+        descriptor_type=FeatureDescriptorTypes.SIFT,
+        tracker_type=FeatureTrackerTypes.LIGHTGLUE,
+        num_levels=16,
+        extra={"desc_dim": 128},
+    )
     BRISK = FeatureTrackerConfig(  # FAST-pyramid detector (AGAST-class)
         name="BRISK", descriptor_type=FeatureDescriptorTypes.BRISK,
     )
@@ -401,6 +444,15 @@ class FeatureTracker:
             self.extractor = SurfExtractor(
                 num_features=config.num_features)
             self.norm = NormType.L2
+        elif config.detector_type in (FeatureDetectorTypes.KAZE,
+                                      FeatureDetectorTypes.AKAZE):
+            from pyslam_tpu.features.akaze import AkazeExtractor
+
+            kaze = config.detector_type == FeatureDetectorTypes.KAZE
+            self.extractor = AkazeExtractor(
+                num_features=config.num_features,
+                descriptor="KAZE" if kaze else "MLDB")
+            self.norm = NormType.L2 if kaze else NormType.HAMMING
         elif config.detector_type == FeatureDetectorTypes.LFNET:
             from pyslam_tpu.models.lfnet import LFNetExtractor
 

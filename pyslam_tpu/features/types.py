@@ -27,6 +27,8 @@ class FeatureDetectorTypes(enum.Enum):
     DELF = 15
     CONTEXTDESC = 16  # SIFT keypoints re-described (reference wrapper)
     SURF = 17         # TPU-native box-filter Hessian (features/surf.py)
+    KAZE = 18         # nonlinear diffusion scale space (features/akaze.py)
+    AKAZE = 19
 
 
 class FeatureDescriptorTypes(enum.Enum):
@@ -56,6 +58,8 @@ class FeatureDescriptorTypes(enum.Enum):
     FREAK = 21
     BEBLID = 22
     SURF = 23
+    KAZE = 24         # 64-float on diffused gradients
+    AKAZE = 25        # M-LDB 486-bit
 
 
 class NormType(enum.Enum):
@@ -98,6 +102,8 @@ FEATURE_INFO = {
     FeatureDescriptorTypes.FREAK: FeatureInfo(NormType.HAMMING, 200.0),
     FeatureDescriptorTypes.BEBLID: FeatureInfo(NormType.HAMMING, 200.0),
     FeatureDescriptorTypes.SURF: FeatureInfo(NormType.L2, 0.3),
+    FeatureDescriptorTypes.KAZE: FeatureInfo(NormType.L2, 0.3),
+    FeatureDescriptorTypes.AKAZE: FeatureInfo(NormType.HAMMING, 190.0),
 }
 
 # descriptor types computed by a patch network over the detector's keypoints
