@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--trajectory_format", default="tum",
                     choices=["tum", "kitti", "euroc"])
     ap.add_argument("--headless", action="store_true", default=True)
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler device trace into LOGDIR "
+                         "(TensorBoard/Perfetto viewable)")
+    ap.add_argument("--print_timings", action="store_true",
+                    help="print per-stage moving-average timings at the end")
     args = ap.parse_args()
 
     # ------------------------------------------------------------- dataset
@@ -128,6 +133,13 @@ def main():
     timer = TimerFps("frame")
     num_lost = 0
     last_kf_count = 0
+    profile_ctx = None
+    if args.profile:
+        from pyslam_tpu.utils.profiling import device_trace
+
+        profile_ctx = device_trace(args.profile)
+        profile_ctx.__enter__()
+        Printer.cyan(f"profiling device trace -> {args.profile}")
     for i in range(len(dataset)):
         img = dataset.getImage(i)
         if img is None:
@@ -157,6 +169,12 @@ def main():
                 f"kfs={slam.map.num_keyframes()} pts={slam.map.num_points()} "
                 f"fps={timer.fps:.1f}"
             )
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        Printer.cyan(f"device trace saved: {args.profile}")
+    if args.print_timings:
+        Printer.cyan(slam.timings_summary())
 
     # -------------------------------------------------------------- outputs
     ts, poses = slam.get_final_trajectory()

@@ -45,6 +45,9 @@ class LocalMapping:
         self.kf_cur: KeyFrame | None = None
         self.opt_abort_flag = False
         self.time_lba = 0.0
+        from pyslam_tpu.utils.profiling import StageTimings
+
+        self.timings = StageTimings("local_mapping")
         self.loop_closing = None            # injected by Slam
         self.volumetric_integrator = None   # injected by Slam
         self.semantic_mapping = None        # injected by Slam
@@ -74,13 +77,21 @@ class LocalMapping:
     # ---------------------------------------------------------------- core
     def do_local_mapping(self, kf: KeyFrame):
         self.kf_cur = kf
-        self.process_new_keyframe(kf)
-        self.cull_map_points()
-        self.create_new_map_points(kf)
-        self.fuse_map_points(kf)
+        t = self.timings
+        with t.stage("process_kf"):
+            self.process_new_keyframe(kf)
+        with t.stage("cull_points"):
+            self.cull_map_points()
+        with t.stage("triangulate"):
+            self.create_new_map_points(kf)
+        with t.stage("fuse"):
+            self.fuse_map_points(kf)
         if self.map.num_keyframes() > 2:
-            self.local_bundle_adjustment(kf)
-        self.cull_keyframes(kf)
+            with t.stage("lba") as lba_t:
+                self.local_bundle_adjustment(kf)
+            self.time_lba = lba_t.elapsed
+        with t.stage("cull_kfs"):
+            self.cull_keyframes(kf)
         # hand the keyframe onward (reference local_mapping.py:488-513)
         if self.loop_closing is not None:
             self.loop_closing.add_keyframe(kf)

@@ -101,6 +101,22 @@ class Slam:
     def state(self) -> TrackingState:
         return self.tracking.state
 
+    def timings(self) -> dict:
+        """Per-stage moving-average timings of all modules (reference:
+        the TimerFps instances surfaced to the plot drawer)."""
+        out = {"tracking": self.tracking.timings.report(),
+               "local_mapping": self.local_mapping.timings.report()}
+        lc = getattr(self.loop_closing, "timings", None)
+        if lc is not None:
+            out["loop_closing"] = lc.report()
+        return out
+
+    def timings_summary(self) -> str:
+        return "\n".join(
+            f"[{mod}] " + " ".join(
+                f"{k}={v['avg_ms']:.1f}ms" for k, v in sorted(st.items()))
+            for mod, st in self.timings().items() if st)
+
     def reset(self):
         self.tracking.reset_requested = False
         self.map = Map()

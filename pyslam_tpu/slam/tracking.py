@@ -103,6 +103,12 @@ class Tracking:
         self.relocalizer = None  # injected by Slam when loop detection is on
         self.reset_requested = False
 
+        # per-stage moving-average timers (reference tracking.py:220-228
+        # named timers; surfaced via Slam.timings / SlamPlotDrawer)
+        from pyslam_tpu.utils.profiling import StageTimings
+
+        self.timings = StageTimings("tracking")
+
         # MAD-adaptive descriptor-distance gate (reference SLAMDynamicConfig)
         from pyslam_tpu.slam.slam_dynamic_config import SLAMDynamicConfig
 
@@ -477,10 +483,12 @@ class Tracking:
 
     # ----------------------------------------------------------------- track
     def track(self, img, img_right=None, depth=None, frame_id=0, timestamp=0.0) -> Frame:
-        f_cur = Frame(
-            self.camera, img, img_right=img_right, depth=depth,
-            timestamp=timestamp, feature_tracker=self.tracker, frame_id=frame_id,
-        )
+        with self.timings.stage("frame"):   # extraction + stereo match
+            f_cur = Frame(
+                self.camera, img, img_right=img_right, depth=depth,
+                timestamp=timestamp, feature_tracker=self.tracker,
+                frame_id=frame_id,
+            )
 
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
@@ -515,7 +523,8 @@ class Tracking:
                     and self.motion_model.is_ok
                 ):
                     T_pred = f_cur.Tcw.copy()
-                    out = self.track_fused(self.f_prev, f_cur)
+                    with self.timings.stage("track_fused"):
+                        out = self.track_fused(self.f_prev, f_cur)
                     if out is not None:
                         n_prev, n_inl1, n_inl2 = out
                         good = n_inl2 >= Parameters.kNumMinInliersTrackLocalMap or (
@@ -537,18 +546,25 @@ class Tracking:
                 if not fused_ok:
                     # 2. frame-to-frame tracking
                     n_matched = 0
-                    if Parameters.kUseSearchFrameByProjection and self.motion_model.is_ok:
-                        n_matched = self.track_previous_frame(self.f_prev, f_cur)
-                    if n_matched < Parameters.kMinNumMatchedFeaturesSearchFrameByProjection:
-                        n_matched = self.track_reference_frame(self.kf_ref, f_cur)
+                    with self.timings.stage("track_prev"):
+                        if (Parameters.kUseSearchFrameByProjection
+                                and self.motion_model.is_ok):
+                            n_matched = self.track_previous_frame(
+                                self.f_prev, f_cur)
+                        if n_matched < Parameters.\
+                                kMinNumMatchedFeaturesSearchFrameByProjection:
+                            n_matched = self.track_reference_frame(
+                                self.kf_ref, f_cur)
                     self.num_matched_kps = n_matched
 
                     # 3. pose optimization #1
-                    pids, kp_idxs = self._assigned(f_cur)
-                    if len(pids) >= Parameters.kMinTrackedFeaturesForPoseOpt:
-                        self.num_inliers = self._pose_optimize(f_cur, pids, kp_idxs)
-                    else:
-                        self.num_inliers = 0
+                    with self.timings.stage("pose_opt"):
+                        pids, kp_idxs = self._assigned(f_cur)
+                        if len(pids) >= Parameters.kMinTrackedFeaturesForPoseOpt:
+                            self.num_inliers = self._pose_optimize(
+                                f_cur, pids, kp_idxs)
+                        else:
+                            self.num_inliers = 0
 
                     if self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
                         Printer.red(f"tracking failure on frame {frame_id} "
@@ -579,7 +595,8 @@ class Tracking:
             # 4. track local map + pose optimization #2 (already inside the
             # fused graph when it succeeded)
             if not fused_ok:
-                n_inl = self.track_local_map(f_cur)
+                with self.timings.stage("track_local_map"):
+                    n_inl = self.track_local_map(f_cur)
                 if n_inl >= Parameters.kNumMinInliersTrackLocalMap or (
                     self.sensor_type == SensorType.MONOCULAR
                     and n_inl >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
@@ -592,8 +609,9 @@ class Tracking:
             if self.state == TrackingState.OK:
                 self.motion_model.update(f_cur.Tcw, timestamp)
                 # 5. keyframe decision
-                if self.need_new_keyframe(f_cur):
-                    self.create_new_keyframe(f_cur)
+                with self.timings.stage("kf_decision"):
+                    if self.need_new_keyframe(f_cur):
+                        self.create_new_keyframe(f_cur)
                 self.history.add(timestamp, f_cur.Tcw, self.kf_ref, TrackingState.OK)
                 self.num_lost_frames = 0
 

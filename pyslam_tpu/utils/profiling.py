@@ -1,0 +1,86 @@
+"""Per-stage timing + XLA trace profiling.
+
+Reference capability: pySLAM's ad-hoc ``TimerFps`` instances per module
+(seven named timers in ``tracking.py:220-228``, per-stage timers in
+``local_mapping.py``) surfaced to the 2D plot drawer — plus the
+TPU-native upgrade SURVEY §5 calls for: ``jax.profiler`` traces viewable
+in TensorBoard/Perfetto and ``TraceAnnotation`` stage markers that land
+inside the device timeline.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+from pyslam_tpu.utils.timer import TimerFps
+
+
+class StageTimings:
+    """Named moving-average stage timers with one-line reporting.
+
+    >>> t = StageTimings("tracking")
+    >>> with t.stage("pose_opt"):
+    ...     ...
+    >>> t.report()   # {'pose_opt': {'last_ms': ..., 'avg_ms': ..., 'fps': ...}}
+    """
+
+    def __init__(self, name: str = "", window: int = 30):
+        self.name = name
+        self.timers: dict[str, TimerFps] = {}
+
+    @contextlib.contextmanager
+    def stage(self, stage_name: str):
+        t = self.timers.get(stage_name)
+        if t is None:
+            t = self.timers[stage_name] = TimerFps(stage_name)
+        t.start()
+        try:
+            yield t
+        finally:
+            t.refresh()
+
+    def add_sample(self, stage_name: str, seconds: float):
+        t = self.timers.get(stage_name)
+        if t is None:
+            t = self.timers[stage_name] = TimerFps(stage_name)
+        t.elapsed = seconds
+        t.moving_average.add(seconds)
+
+    def report(self) -> dict:
+        return {
+            k: {
+                "last_ms": 1000.0 * t.elapsed,
+                "avg_ms": 1000.0 * t.moving_average.average(),
+                "fps": t.fps,
+            }
+            for k, t in self.timers.items()
+        }
+
+    def summary(self) -> str:
+        parts = [f"{k}={v['avg_ms']:.1f}ms"
+                 for k, v in sorted(self.report().items())]
+        prefix = f"[{self.name}] " if self.name else ""
+        return prefix + " ".join(parts)
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Capture a ``jax.profiler`` trace (TensorBoard / Perfetto viewable).
+
+    Usage: ``with device_trace('logs/trace'): ... run frames ...``
+    """
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Stage marker that shows up inside the device profiler timeline."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
