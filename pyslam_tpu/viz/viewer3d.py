@@ -37,6 +37,27 @@ class Viewer3D:
             self.backend = "matplotlib"
 
     # ------------------------------------------------------------- drawing
+    @staticmethod
+    def _graph_edges(slam, covis_min_weight: int = 30):
+        """(covisibility, spanning-tree, loop) line segments, like the
+        reference viewer's checkbox-toggled graph layers."""
+        centers = {}
+        for kid in slam.map.keyframe_order:
+            centers[kid] = np.asarray(slam.map.keyframes[kid].Ow)
+        cov, span, loops = [], [], []
+        for kid in slam.map.keyframe_order:
+            kf = slam.map.keyframes[kid]
+            for other, w in getattr(kf, "connected_keyframes", {}).items():
+                if w >= covis_min_weight and other in centers and other > kid:
+                    cov.append((centers[kid], centers[other]))
+            parent = getattr(kf, "parent", None)
+            if parent is not None and parent in centers:
+                span.append((centers[kid], centers[parent]))
+            for other in getattr(kf, "loop_edges", ()):
+                if other in centers and other > kid:
+                    loops.append((centers[kid], centers[other]))
+        return cov, span, loops
+
     def draw_map(self, slam, dense_points=None, gt_positions=None):
         st = slam.map.points
         pids = st.alive_ids()
@@ -46,12 +67,22 @@ class Viewer3D:
         ) if slam.map.keyframe_order else np.zeros((0, 3))
         ts, poses = slam.get_final_trajectory()
         traj = poses[:, :3, 3] if len(ts) else np.zeros((0, 3))
+        edges = self._graph_edges(slam)
         if self.backend == "rerun":
-            self._draw_rerun(pts, kf_centers, traj, dense_points)
+            self._draw_rerun(slam, pts, kf_centers, traj, dense_points, edges)
         else:
-            self._draw_matplotlib(pts, kf_centers, traj, dense_points, gt_positions)
+            self._draw_matplotlib(pts, kf_centers, traj, dense_points,
+                                  gt_positions, edges)
 
-    def _draw_rerun(self, pts, kf_centers, traj, dense_points):  # pragma: no cover
+    def export_html(self, slam, out_path: str = "map_view.html",
+                    dense_points=None):
+        """Standalone interactive viewer (viz/html_viewer.py)."""
+        from pyslam_tpu.viz.html_viewer import export_html_map
+
+        return export_html_map(slam, out_path, dense_points=dense_points)
+
+    def _draw_rerun(self, slam, pts, kf_centers, traj, dense_points,
+                    edges):  # pragma: no cover
         rr = self._rerun
         rr.log("map/points", rr.Points3D(pts, radii=0.01))
         rr.log("map/keyframes", rr.Points3D(kf_centers, radii=0.05))
@@ -59,16 +90,38 @@ class Viewer3D:
             rr.log("map/trajectory", rr.LineStrips3D([traj]))
         if dense_points is not None:
             rr.log("map/dense", rr.Points3D(dense_points, radii=0.01))
+        cov, span, loops = edges
+        for name, segs, color in (("covisibility", cov, (90, 90, 90)),
+                                  ("spanning_tree", span, (40, 160, 40)),
+                                  ("loops", loops, (220, 50, 50))):
+            if segs:
+                rr.log(f"map/graph/{name}",
+                       rr.LineStrips3D([np.stack(s) for s in segs],
+                                       colors=color))
+        # camera poses as pinhole frusta (reference rerun_interface logs
+        # the same entity layout)
+        for kid in slam.map.keyframe_order[-1:]:
+            kf = slam.map.keyframes[kid]
+            rr.log("map/camera",
+                   rr.Transform3D(translation=kf.Twc[:3, 3],
+                                  mat3x3=kf.Twc[:3, :3]))
 
-    def _draw_matplotlib(self, pts, kf_centers, traj, dense_points, gt_positions):
+    def _draw_matplotlib(self, pts, kf_centers, traj, dense_points,
+                         gt_positions, edges=((), (), ())):
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        cov, span, loops = edges
         fig, axes = plt.subplots(1, 2, figsize=(14, 7))
         # top-down (x-z) and side (x-y)
         for ax, (a, b), name in zip(axes, [(0, 2), (0, 1)], ["top (x-z)", "side (x-y)"]):
+            for segs, color, lw in ((cov, "#bbbbbb", 0.3),
+                                    (span, "#2d8a2d", 0.8),
+                                    (loops, "#d33", 1.2)):
+                for p, q in segs:
+                    ax.plot([p[a], q[a]], [p[b], q[b]], color=color, lw=lw)
             if len(pts):
                 ax.scatter(pts[:, a], pts[:, b], s=1, c="gray", alpha=0.4,
                            label="map points")
@@ -104,12 +157,24 @@ class SlamPlotDrawer:
         self.matched: list[int] = []
         self.inliers: list[int] = []
         self.fps: list[float] = []
+        self.timing_curves: dict[str, list[float]] = {}
 
-    def add(self, frame_id, num_matched, num_inliers, fps=0.0):
+    def add(self, frame_id, num_matched, num_inliers, fps=0.0, timings=None):
         self.frames.append(frame_id)
         self.matched.append(num_matched)
         self.inliers.append(num_inliers)
         self.fps.append(fps)
+        if timings:
+            # flatten {'module': {'stage': {'last_ms': ...}}} into curves
+            for mod, stages in timings.items():
+                for st, v in stages.items():
+                    key = f"{mod}.{st}"
+                    curve = self.timing_curves.setdefault(
+                        key, [float("nan")] * (len(self.frames) - 1))
+                    curve.append(v["last_ms"])
+            for curve in self.timing_curves.values():
+                while len(curve) < len(self.frames):
+                    curve.append(float("nan"))
 
     def save(self):
         import matplotlib
@@ -117,14 +182,23 @@ class SlamPlotDrawer:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+        rows = 3 if self.timing_curves else 2
+        fig, axes = plt.subplots(rows, 1, figsize=(10, 3 * rows),
+                                 sharex=True)
         axes[0].plot(self.frames, self.matched, label="matched")
         axes[0].plot(self.frames, self.inliers, label="inliers")
         axes[0].legend()
         axes[0].set_ylabel("count")
         axes[1].plot(self.frames, self.fps, label="fps")
         axes[1].set_ylabel("fps")
-        axes[1].set_xlabel("frame")
+        if self.timing_curves:
+            for key, curve in sorted(self.timing_curves.items()):
+                axes[2].plot(self.frames[: len(curve)], curve,
+                             label=key, lw=0.8)
+            axes[2].set_ylabel("stage ms")
+            axes[2].set_yscale("log")
+            axes[2].legend(fontsize=6, ncol=2)
+        axes[-1].set_xlabel("frame")
         fig.tight_layout()
         fig.savefig(self.out_path, dpi=110)
         plt.close(fig)
