@@ -164,6 +164,63 @@ def _extract_jit(
     return cat
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_features", "num_levels", "scale", "fast_th", "cell", "per_cell",
+        "use_pallas", "max_distance", "row_tol",
+    ),
+)
+def _extract_stereo_jit(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    bf: jnp.ndarray,
+    max_disp: jnp.ndarray,
+    num_features: int,
+    num_levels: int,
+    scale: float,
+    fast_th: float,
+    cell: int,
+    per_cell: int,
+    use_pallas: bool,
+    max_distance: float,
+    row_tol: float,
+):
+    """Left extract + right extract + row-constrained stereo match as ONE
+    XLA graph (the whole stereo Frame construction in a single dispatch;
+    reference frame.py runs the two extractions on threads and the row
+    match in C++ — here the graph-level fusion replaces both).
+
+    Returns (packed meta (N, 9: x y level angle size resp valid ur depth),
+    desc (N, D))."""
+    from pyslam_tpu.ops import hamming as hamming_ops
+    from pyslam_tpu.ops import matching as matching_ops
+
+    fl = _extract_jit(img_l, num_features, num_levels, scale, fast_th,
+                      cell, per_cell, use_pallas)
+    fr = _extract_jit(img_r, num_features, num_levels, scale, fast_th,
+                      cell, per_cell, use_pallas)
+    d = hamming_ops.hamming_distance_matrix(fl.desc, fr.desc).astype(
+        jnp.float32)
+    disp = fl.xy[:, 0:1] - fr.xy[None, :, 0]
+    idx, _dist = matching_ops.row_stereo_match(
+        d, fl.xy[:, 1], fr.xy[:, 1], disp,
+        max_distance=max_distance, row_tol=row_tol,
+        min_disp=0.1, max_disp=max_disp,
+        valid_a=fl.valid, valid_b=fr.valid,
+    )
+    ok = idx >= 0
+    ur = jnp.where(ok, fr.xy[jnp.clip(idx, 0), 0], -1.0)
+    dsel = jnp.where(ok, fl.xy[:, 0] - ur, -1.0)
+    depth = jnp.where(dsel > 0, bf / jnp.maximum(dsel, 1e-6), -1.0)
+    meta = jnp.concatenate(
+        [_pack_feature_meta(fl.xy, fl.level, fl.angle, fl.size,
+                            fl.response, fl.valid),
+         ur[:, None].astype(jnp.float32),
+         depth[:, None].astype(jnp.float32)], axis=1)
+    return meta, fl.desc
+
+
 class ORB2Extractor:
     """Callable extractor with the reference's ORB2 configuration surface."""
 
@@ -207,3 +264,25 @@ class ORB2Extractor:
             self.per_cell,
             self.use_pallas,
         )
+
+    def extract_stereo(self, img_l, img_r, bf: float, max_disp: float,
+                       max_distance: float, row_tol: float):
+        """Fused left+right extraction + row stereo match: one dispatch,
+        two readbacks.  Returns (numpy FeatureData, kps_ur, depths)."""
+        meta, desc = _extract_stereo_jit(
+            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            jnp.float32(bf), jnp.float32(max_disp),
+            self.num_features, self.num_levels, self.scale_factor,
+            float(self.fast_threshold), self.cell, self.per_cell,
+            self.use_pallas, float(max_distance), float(row_tol))
+        meta = np.asarray(meta)
+        fd = FeatureData(
+            xy=np.ascontiguousarray(meta[:, 0:2]),
+            level=meta[:, 2].astype(np.int32),
+            angle=meta[:, 3].copy(),
+            size=meta[:, 4].copy(),
+            response=meta[:, 5].copy(),
+            desc=np.asarray(desc),
+            valid=meta[:, 6] > 0.5,
+        )
+        return fd, meta[:, 7].copy(), meta[:, 8].copy()

@@ -68,8 +68,23 @@ class Frame:
                 # half-res uint8 copy for learned place recognition backends
                 self.img_vpr = a[::2, ::2].astype(np.uint8)
 
+        stereo_ur = stereo_depth = None
         if features is None and img is not None and feature_tracker is not None:
-            features = feature_tracker.detectAndCompute(img)
+            extractor = getattr(feature_tracker, "extractor", None)
+            if (img_right is not None and camera is not None
+                    and not camera.is_distorted
+                    and hasattr(extractor, "extract_stereo")):
+                # fused path: left+right extraction + row match in ONE
+                # dispatch, two readbacks (orb2._extract_stereo_jit)
+                max_disp = (camera.bf / max(Parameters.kMinDepth, 1e-3)
+                            if camera.bf > 0 else 100.0)
+                features, stereo_ur, stereo_depth = extractor.extract_stereo(
+                    img, img_right, bf=camera.bf, max_disp=max_disp,
+                    max_distance=(
+                        Parameters.kStereoMatchingMaxDescriptorDistance),
+                    row_tol=Parameters.kStereoMatchingRowTolerance)
+            else:
+                features = feature_tracker.detectAndCompute(img)
 
         if features is not None:
             # ONE packed readback for all per-keypoint fields (features
@@ -109,7 +124,10 @@ class Frame:
         self.kps_ur = np.full((n,), -1.0, np.float32)  # right-image u (-1 = mono)
         self.depths = np.full((n,), -1.0, np.float32)
 
-        if img_right is not None and feature_tracker is not None:
+        if stereo_ur is not None:
+            self.kps_ur = stereo_ur.astype(np.float32)
+            self.depths = stereo_depth.astype(np.float32)
+        elif img_right is not None and feature_tracker is not None:
             self.compute_stereo_matches(img_right)
         elif depth is not None:
             self.compute_stereo_from_rgbd(depth)
