@@ -633,3 +633,93 @@ class SyntheticDataset(DatasetBase):
 
     def getTimestamp(self, i):
         return i / self.fps
+
+
+class ClioDataset(DatasetBase):
+    """CLIO (MIT task-driven mapping): ``images/rgb_<id>.jpg`` +
+    ``depth/depth_<id>.png``, frame ids from filenames, synthetic
+    timestamps at the measured ~7.5 Hz playback rate (reference
+    ``dataset.py ClioDataset``)."""
+
+    def __init__(self, base_path: str, sequence: str = "",
+                 sensor_type=SensorType.RGBD, fps: float = 7.5):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.INDOOR
+        self.depth_factor = 1000.0
+        base = os.path.join(base_path, sequence) if sequence else base_path
+        self.images_dir = os.path.join(base, "images")
+        self.depth_dir = os.path.join(base, "depth")
+
+        def fid(path, prefix):
+            return int(os.path.basename(path).replace(prefix, "")
+                       .split(".")[0])
+
+        self.rgb = sorted(glob.glob(os.path.join(self.images_dir, "rgb_*.jpg")),
+                          key=lambda p: fid(p, "rgb_"))
+        self.frame_ids = [fid(p, "rgb_") for p in self.rgb]
+        if sensor_type == SensorType.RGBD and not os.path.isdir(self.depth_dir):
+            self.sensor_type = SensorType.MONOCULAR
+        self.num_frames = len(self.rgb)
+        self.fps = fps
+        self.Ts = 1.0 / fps
+
+    def getImage(self, i):
+        return _imread_gray(self.rgb[i]) if i < self.num_frames else None
+
+    def getImageColor(self, i):
+        return _imread_color(self.rgb[i]) if i < self.num_frames else None
+
+    def getDepth(self, i):
+        if self.sensor_type != SensorType.RGBD or i >= self.num_frames:
+            return None
+        path = os.path.join(self.depth_dir, f"depth_{self.frame_ids[i]}.png")
+        if not os.path.isfile(path):
+            return None
+        return _imread_depth_png(path, self.depth_factor)
+
+    def getTimestamp(self, i):
+        return float(i * self.Ts)
+
+
+class RoverDataset(DatasetBase):
+    """ROVER (outdoor robot benchmark): per-camera directory with a
+    TUM-style associations file ``<timestamp> <rgb path> [<ts> <depth
+    path>]`` (reference ``dataset.py RoverDataset``)."""
+
+    def __init__(self, base_path: str, sequence: str,
+                 camera_name: str = "realsense_d435i",
+                 associations: str = "associations.txt",
+                 sensor_type=SensorType.RGBD):
+        self.sensor_type = sensor_type
+        self.environment_type = DatasetEnvironmentType.OUTDOOR
+        self.depth_factor = 1000.0
+        self.base_dir = os.path.join(base_path, sequence, camera_name)
+        self.rows = []
+        with open(os.path.join(self.base_dir, associations)) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                self.rows.append(line.split())
+        self.num_frames = len(self.rows)
+        self.fps = 30.0
+
+    def getImage(self, i):
+        if i >= self.num_frames:
+            return None
+        return _imread_gray(os.path.join(self.base_dir, self.rows[i][1]))
+
+    def getImageColor(self, i):
+        if i >= self.num_frames:
+            return None
+        return _imread_color(os.path.join(self.base_dir, self.rows[i][1]))
+
+    def getDepth(self, i):
+        if (self.sensor_type != SensorType.RGBD or i >= self.num_frames
+                or len(self.rows[i]) < 4):
+            return None
+        return _imread_depth_png(
+            os.path.join(self.base_dir, self.rows[i][3]), self.depth_factor)
+
+    def getTimestamp(self, i):
+        return float(self.rows[i][0])

@@ -62,6 +62,18 @@ def dataset_factory(config) -> DatasetBase:
         return TartanAirDataset(base, name, sensor_type=sensor)
     if ds_type == DatasetType.SCANNET:
         return ScanNetDataset(base, name, sensor_type=sensor)
+    if ds_type == DatasetType.CLIO:
+        from pyslam_tpu.io.dataset import ClioDataset
+
+        return ClioDataset(base, name, sensor_type=sensor,
+                           fps=float(d.get("fps", 7.5)))
+    if ds_type == DatasetType.ROVER:
+        from pyslam_tpu.io.dataset import RoverDataset
+
+        return RoverDataset(
+            base, name, camera_name=d.get("camera_name", "realsense_d435i"),
+            associations=d.get("associations", "associations.txt"),
+            sensor_type=sensor)
     if ds_type == DatasetType.SEVEN_SCENES:
         return SevenScenesDataset(base, name or "seq-01", sensor_type=sensor)
     if ds_type == DatasetType.NEURAL_RGBD:

@@ -25,6 +25,8 @@ class DatasetType(enum.Enum):
     SCANNET = "scannet"
     SEVEN_SCENES = "seven_scenes"
     NEURAL_RGBD = "neural_rgbd"
+    CLIO = "clio"
+    ROVER = "rover"
     FOLDER = "folder"
     VIDEO = "video"
     LIVE = "live"
