@@ -268,7 +268,9 @@ class ORB2Extractor:
     def extract_stereo(self, img_l, img_r, bf: float, max_disp: float,
                        max_distance: float, row_tol: float):
         """Fused left+right extraction + row stereo match: one dispatch,
-        two readbacks.  Returns (numpy FeatureData, kps_ur, depths)."""
+        two readbacks.  Returns (numpy FeatureData, kps_ur, depths,
+        device desc handle — kept for the fused tracking step so the
+        descriptors never re-cross the tunnel)."""
         meta, desc = _extract_stereo_jit(
             jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
             jnp.float32(bf), jnp.float32(max_disp),
@@ -285,4 +287,4 @@ class ORB2Extractor:
             desc=np.asarray(desc),
             valid=meta[:, 6] > 0.5,
         )
-        return fd, meta[:, 7].copy(), meta[:, 8].copy()
+        return fd, meta[:, 7].copy(), meta[:, 8].copy(), desc

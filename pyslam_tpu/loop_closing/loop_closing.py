@@ -485,6 +485,7 @@ class LoopClosing:
             S_n = corrected[kid]
             Pm = self._sim3_apply(np.linalg.inv(S_n) @ S_o, P)
             st.pos[fresh] = Pm
+            self.map.store_version += 1
         # apply corrected poses (fold scale into translation: Tcw = [R t/s])
         for kid in group:
             s, R, t = self._S_to_srt(corrected[kid])
@@ -642,6 +643,7 @@ class LoopClosing:
                 continue
             delta = np.linalg.inv(S_opt[i]) @ S_o
             st.pos[pid] = self._sim3_apply(delta, st.pos[pid][None, :])[0]
+            self.map.store_version += 1
         for kid in kids:
             s, R, t = self._S_to_srt(S_opt[row[kid]])
             T = np.eye(4)

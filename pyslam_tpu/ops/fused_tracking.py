@@ -109,3 +109,43 @@ def track_frame_fused(
     packed = jnp.stack([match_code, inl2.astype(jnp.int32)], axis=1)
     counts = jnp.stack([n_prev, n_inl1, n_inl2]).astype(jnp.int32)
     return T2, packed, counts
+
+
+@functools.partial(jax.jit, static_argnames=("min_prev_matches",))
+def track_frame_fused_indexed(
+    # frame side (N fixed)
+    kps, kp_level, kp_des, kp_valid, kp_ur,
+    # FULL device-resident point store (C rows; cached across frames)
+    store_pos, store_desc, store_normal, store_min_d, store_max_d,
+    store_valid,
+    # row indices into the store (bucketed, -1 = padding) — the ONLY
+    # per-frame map-side upload (a few KB instead of ~1 MB of gathers)
+    idx_prev, idx_map,
+    Tcw_pred, K, image_bounds, scale_factors, sigma2_table, bf,
+    radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
+    min_prev_matches: int = 20,
+):
+    """track_frame_fused with the point-store gathers INSIDE the graph.
+
+    The host keeps one device copy of the map arrays (invalidated by
+    ``Map.store_version``); per frame only the index vectors cross the
+    tunnel."""
+
+    def gather(idx):
+        cl = jnp.clip(idx, 0)
+        valid = (idx >= 0) & store_valid[cl]
+        # sanitize padded rows: unset max_dist is +inf in the store
+        pos = jnp.where(valid[:, None], store_pos[cl], 0.0)
+        max_d = jnp.where(valid, store_max_d[cl], 1.0)
+        min_d = jnp.where(valid, store_min_d[cl], 0.0)
+        return (pos, store_desc[cl], store_normal[cl], min_d, max_d, valid)
+
+    prev = gather(idx_prev)
+    mp = gather(idx_map)
+    return track_frame_fused(
+        kps, kp_level, kp_des, kp_valid, kp_ur,
+        *prev, *mp,
+        Tcw_pred, K, image_bounds, scale_factors, sigma2_table, bf,
+        radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
+        min_prev_matches=min_prev_matches,
+    )

@@ -69,6 +69,7 @@ class Frame:
                 self.img_vpr = a[::2, ::2].astype(np.uint8)
 
         stereo_ur = stereo_depth = None
+        self._des_dev = None   # device descriptor handle (fused stereo path)
         if features is None and img is not None and feature_tracker is not None:
             extractor = getattr(feature_tracker, "extractor", None)
             if (img_right is not None and camera is not None
@@ -78,7 +79,8 @@ class Frame:
                 # dispatch, two readbacks (orb2._extract_stereo_jit)
                 max_disp = (camera.bf / max(Parameters.kMinDepth, 1e-3)
                             if camera.bf > 0 else 100.0)
-                features, stereo_ur, stereo_depth = extractor.extract_stereo(
+                (features, stereo_ur, stereo_depth,
+                 self._des_dev) = extractor.extract_stereo(
                     img, img_right, bf=camera.bf, max_disp=max_disp,
                     max_distance=(
                         Parameters.kStereoMatchingMaxDescriptorDistance),

@@ -96,4 +96,5 @@ def global_bundle_adjustment(m: Map, camera, feature_tracker, iters=None,
         if i > 0:
             m.keyframes[kid].update_pose(new_poses[i])
     m.points.pos[pids] = new_points
+    m.store_version += 1
     return float(cost)

@@ -463,6 +463,7 @@ class LocalMapping:
                 self.map.keyframes[kid].update_pose(new_poses[row])
                 self.map.keyframes[kid].lba_count += 1
         st.pos[local_pids] = new_points[: len(local_pids)]
+        self.map.store_version += 1
 
     # --------------------------------------------------------- cull keyframes
     def cull_keyframes(self, kf: KeyFrame):

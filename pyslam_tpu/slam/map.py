@@ -79,6 +79,9 @@ class Map:
         self.points = MapPointStorage()
         self.keyframes: dict[int, KeyFrame] = {}       # kid -> KeyFrame
         self.keyframe_order: list[int] = []            # insertion order
+        # bumped on every point-store mutation: device-resident caches of
+        # the store (Tracking.track_fused) key on it
+        self.store_version = 0
         # observations: pid -> {kid: kp_idx} (authoritative store; a native
         # C++ mirror accelerates covisibility counting when the toolchain is
         # available — see pyslam_tpu.native)
@@ -162,6 +165,7 @@ class Map:
         return False  # refined later; culling uses num_obs thresholds
 
     def delete_point(self, pid: int):
+        self.store_version += 1
         if self._native is not None:
             self._native.remove_point(int(pid))
         obs = self.observations.pop(pid, {})
@@ -176,6 +180,7 @@ class Map:
         observations of old to new, merge stats."""
         if old_pid == new_pid:
             return
+        self.store_version += 1
         obs_old = self.observations.pop(old_pid, {})
         if self._native is not None:
             self._native.remove_point(int(old_pid))
@@ -224,6 +229,7 @@ class Map:
         n = len(kp_idxs)
         if n == 0:
             return np.zeros(0, np.int64)
+        self.store_version += 1
         pids = self.points.new_points(n)
         st = self.points
         st.ensure_desc_layout(kf.des)
@@ -258,6 +264,7 @@ class Map:
     def update_point_descriptors_and_normals(self, pids):
         """Recompute best descriptor (min-median-distance, reference
         map_point.py best-descriptor update) and mean viewing direction."""
+        self.store_version += 1
         st = self.points
         for pid in np.atleast_1d(pids):
             pid = int(pid)

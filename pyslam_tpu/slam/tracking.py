@@ -108,6 +108,9 @@ class Tracking:
         from pyslam_tpu.utils.profiling import StageTimings
 
         self.timings = StageTimings("tracking")
+        # device-resident point-store cache (track_fused): re-uploaded only
+        # when Map.store_version changes (keyframe-granularity mutations)
+        self._store_cache = None
 
         # MAD-adaptive descriptor-distance gate (reference SLAMDynamicConfig)
         from pyslam_tpu.slam.slam_dynamic_config import SLAMDynamicConfig
@@ -300,13 +303,31 @@ class Tracking:
         return n_inl
 
     # ------------------------------------------------------ fused OK path
+    def _device_store(self, st):
+        """Device copies of the point-store arrays, invalidated by
+        ``Map.store_version`` (mutations happen at keyframe granularity, so
+        consecutive frames reuse the same upload)."""
+        key = (getattr(self.map, "store_version", -1), st.capacity,
+               st.desc.shape[1], str(st.desc.dtype))
+        if self._store_cache is None or self._store_cache[0] != key:
+            self._store_cache = (key, (
+                jnp.asarray(st.pos.astype(np.float32)),
+                jnp.asarray(st.desc),
+                jnp.asarray(st.normal),
+                jnp.asarray(st.min_dist),
+                jnp.asarray(np.where(np.isfinite(st.max_dist),
+                                     st.max_dist, 1.0).astype(np.float32)),
+                jnp.asarray(st.valid),
+            ))
+        return self._store_cache[1]
+
     def track_fused(self, f_prev: Frame, f_cur: Frame):
         """One-dispatch tracking step (ops/fused_tracking.py): projection
         search vs prev + pose opt #1 + local-map search + pose opt #2 in a
         single jitted graph — ~8 device round trips collapse to 1 dispatch +
         2 readbacks.  Returns (n_prev_matches, n_inl1, n_inl2) or None when
         prerequisites are missing (caller falls back to the legacy path)."""
-        from pyslam_tpu.ops.fused_tracking import track_frame_fused
+        from pyslam_tpu.ops.fused_tracking import track_frame_fused_indexed
 
         st = self.map.points
         pids_prev, _ = self._assigned(f_prev)
@@ -322,27 +343,21 @@ class Tracking:
             return None
         st.n_visible[local_pids] += 1
 
-        prev_pos, prev_valid = pad_bucket(st.pos[pids_prev])
-        mp = len(prev_valid)
-        map_pos, map_valid = pad_bucket(st.pos[local_pids])
-        mm = len(map_valid)
+        idx_prev, _ = pad_bucket(pids_prev.astype(np.int32), fill=-1)
+        mp = len(idx_prev)
+        idx_map, _ = pad_bucket(local_pids.astype(np.int32), fill=-1)
+        mm = len(idx_map)
+        store = self._device_store(st)
 
-        T2, packed, counts = track_frame_fused(
+        T2, packed, counts = track_frame_fused_indexed(
             jnp.asarray(f_cur.kps), jnp.asarray(f_cur.levels),
-            jnp.asarray(f_cur.des), jnp.asarray(f_cur.valid),
+            getattr(f_cur, "_des_dev", None)
+            if getattr(f_cur, "_des_dev", None) is not None
+            else jnp.asarray(f_cur.des),
+            jnp.asarray(f_cur.valid),
             jnp.asarray(f_cur.kps_ur),
-            jnp.asarray(prev_pos, jnp.float32),
-            jnp.asarray(pad_rows(st.desc[pids_prev], mp)),
-            jnp.asarray(pad_rows(st.normal[pids_prev], mp)),
-            jnp.asarray(pad_rows(st.min_dist[pids_prev], mp)),
-            jnp.asarray(pad_rows(st.max_dist[pids_prev], mp, fill=1.0)),
-            jnp.asarray(prev_valid),
-            jnp.asarray(map_pos, jnp.float32),
-            jnp.asarray(pad_rows(st.desc[local_pids], mm)),
-            jnp.asarray(pad_rows(st.normal[local_pids], mm)),
-            jnp.asarray(pad_rows(st.min_dist[local_pids], mm)),
-            jnp.asarray(pad_rows(st.max_dist[local_pids], mm, fill=1.0)),
-            jnp.asarray(map_valid),
+            *store,
+            jnp.asarray(idx_prev), jnp.asarray(idx_map),
             jnp.asarray(f_cur.Tcw, jnp.float32),
             jnp.asarray(self.camera.K, jnp.float32),
             jnp.asarray(self._ib),

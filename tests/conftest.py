@@ -35,3 +35,23 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------- stability
+# The full suite compiles hundreds of XLA executables (every model family)
+# in ONE process; letting them accumulate eventually segfaults the CPU
+# backend (observed deterministically around the ~70th test file — address-
+# space/map exhaustion, not Python-visible). Dropping JAX's compilation
+# caches when the suite moves to a new test file bounds the growth; each
+# file re-compiles only its own graphs.
+_last_test_file = [None]
+
+
+def pytest_runtest_setup(item):
+    f = str(item.fspath)
+    if _last_test_file[0] not in (None, f):
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+    _last_test_file[0] = f
