@@ -18,6 +18,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("state", help="saved system-state folder (map.json inside)")
     ap.add_argument("--out", default="map_view.png")
+    ap.add_argument("--html", default=None, metavar="PATH",
+                    help="also export the standalone interactive HTML viewer")
     args = ap.parse_args()
 
     import json
@@ -32,6 +34,9 @@ def main():
     viewer = Viewer3D(backend="matplotlib", out_path=args.out)
     viewer.draw_map(slam)
     Printer.green(f"map view -> {args.out}")
+    if args.html:
+        viewer.export_html(slam, args.html)
+        Printer.green(f"interactive viewer -> {args.html}")
     return 0
 
 
