@@ -166,6 +166,71 @@ class TSDFVolume:
         save_ply(path, verts, faces, cols)
         return len(verts), len(faces)
 
+    # ------------------------------------------- spatial queries / carving
+    # (reference cpp/volumetric: CameraFrustrum culling, bounding boxes,
+    # carving — batched masks over the flat table instead of TBB loops)
+    def _centers(self):
+        keys = np.asarray(self.table.keys)
+        return (keys.astype(np.float64) + 0.5) * self.voxel_size
+
+    def voxels_in_bbox(self, min_xyz, max_xyz) -> np.ndarray:
+        """Occupied-voxel mask inside an axis-aligned 3D bounding box."""
+        c = self._centers()
+        occ = np.asarray(self.table.occupied)
+        return (occ & (c >= np.asarray(min_xyz)).all(1)
+                & (c <= np.asarray(max_xyz)).all(1))
+
+    def crop_bbox(self, min_xyz, max_xyz):
+        """Drop every voxel outside the box (reference bounding-box crop)."""
+        keep = self.voxels_in_bbox(min_xyz, max_xyz)
+        occ = np.asarray(self.table.occupied) & keep
+        self.table = self.table._replace(occupied=jnp.asarray(occ))
+
+    def voxels_in_frustum(self, Twc, K, hw, near: float = 0.05,
+                          far: float | None = None) -> np.ndarray:
+        """Occupied-voxel mask inside the camera frustum (reference
+        CameraFrustrum)."""
+        H, W = hw
+        far = far or self.depth_trunc
+        Tcw = np.linalg.inv(np.asarray(Twc, np.float64))
+        c = self._centers()
+        pc = c @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = pc[:, 2]
+        K = np.asarray(K)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+            v = K[1, 1] * pc[:, 1] / z + K[1, 2]
+        occ = np.asarray(self.table.occupied)
+        return (occ & (z > near) & (z < far)
+                & (u >= 0) & (u < W) & (v >= 0) & (v < H))
+
+    def carve(self, depth, Twc, K, margin: float | None = None) -> int:
+        """Space carving: clear voxels the camera SEES THROUGH — inside the
+        frustum and closer than the measured surface by > margin (reference
+        volumetric carving).  Returns the number of carved voxels."""
+        depth = np.asarray(depth, np.float32)
+        H, W = depth.shape
+        margin = margin or 2.0 * self.voxel_size
+        in_f = self.voxels_in_frustum(Twc, K, (H, W))
+        if not in_f.any():
+            return 0
+        Tcw = np.linalg.inv(np.asarray(Twc, np.float64))
+        c = self._centers()[in_f]
+        pc = c @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = pc[:, 2]
+        K = np.asarray(K)
+        u = np.clip((K[0, 0] * pc[:, 0] / z + K[0, 2]).astype(int), 0, W - 1)
+        v = np.clip((K[1, 1] * pc[:, 1] / z + K[1, 2]).astype(int), 0, H - 1)
+        d = depth[v, u]
+        free = (d > 0) & (z < d - margin)
+        idx = np.flatnonzero(in_f)[free]
+        if len(idx) == 0:
+            return 0
+        occ = np.array(self.table.occupied)   # writable host copy
+        occ[idx] = False
+        self.table = self.table._replace(occupied=jnp.asarray(occ))
+        return int(len(idx))
+
     # ---------------------------------------------------------- persistence
     def save(self, path: str):
         np.savez_compressed(

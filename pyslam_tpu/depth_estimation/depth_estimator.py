@@ -30,6 +30,7 @@ class DepthEstimatorType(enum.Enum):
     DEPTH_PRO = "depth_pro"
     DEPTH_RAFT_STEREO = "raft_stereo"
     DEPTH_CRESTEREO_PYTORCH = "crestereo"
+    DEPTH_CRESTEREO_MEGENGINE = "crestereo_megengine"  # same native backend
     DEPTH_MAST3R = "mast3r"
     DEPTH_MVDUST3R = "mvdust3r"
 
@@ -259,10 +260,11 @@ def depth_estimator_factory(
     if isinstance(t, str):
         t = DepthEstimatorType(t.lower())
     if t in (DepthEstimatorType.DEPTH_RAFT_STEREO,
-             DepthEstimatorType.DEPTH_CRESTEREO_PYTORCH):
+             DepthEstimatorType.DEPTH_CRESTEREO_PYTORCH,
+             DepthEstimatorType.DEPTH_CRESTEREO_MEGENGINE):
         if kw.get("checkpoint"):
             cls = (DepthEstimatorCREStereo
-                   if t == DepthEstimatorType.DEPTH_CRESTEREO_PYTORCH
+                   if t != DepthEstimatorType.DEPTH_RAFT_STEREO
                    else DepthEstimatorRaft)
             return cls(camera, max_depth=max_depth, **kw)
         # no weights: the SGM path is the zero-weights production fallback
