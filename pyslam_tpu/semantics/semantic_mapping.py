@@ -57,6 +57,10 @@ class SemanticMappingDense:
         self.queue: deque = deque()
         # per-map-point class score accumulators (host dict -> lazily dense)
         self.point_scores: dict[int, np.ndarray] = {}
+        # FEATURE_VECTOR mode: running mean of unit embeddings per point
+        # (reference 'embedding' representation + averaging fusion)
+        self.point_embeddings: dict[int, np.ndarray] = {}
+        self.point_embedding_counts: dict[int, int] = {}
 
     def add_keyframe(self, kf, img=None):
         if img is None:
@@ -86,6 +90,8 @@ class SemanticMappingDense:
         kp_labels = labels[ys, xs]
         kf.kps_sem = kp_labels  # reference stores per-keypoint semantics
 
+        embeddings = out.get("embeddings")  # (H, W, D) open-vocab backends
+
         # fuse into observed map points
         slots = np.nonzero(kf.points >= 0)[0]
         for kp_idx in slots:
@@ -101,6 +107,14 @@ class SemanticMappingDense:
                 acc += probs[ys[kp_idx], xs[kp_idx]]
             else:
                 acc[kp_labels[kp_idx]] += 1.0
+            if (embeddings is not None and self.config.feature_type
+                    == SemanticFeatureType.FEATURE_VECTOR):
+                e = embeddings[ys[kp_idx], xs[kp_idx]]
+                n = self.point_embedding_counts.get(pid, 0)
+                mean = self.point_embeddings.get(pid)
+                mean = e.copy() if mean is None else (mean * n + e) / (n + 1)
+                self.point_embeddings[pid] = mean
+                self.point_embedding_counts[pid] = n + 1
 
     def point_label(self, pid: int) -> int:
         acc = self.point_scores.get(int(pid))
@@ -111,6 +125,28 @@ class SemanticMappingDense:
         if acc is None or acc.sum() <= 0:
             return 0.0
         return float(acc.max() / acc.sum())
+
+    def point_embedding(self, pid: int):
+        """Fused unit embedding of a map point (FEATURE_VECTOR mode)."""
+        e = self.point_embeddings.get(int(pid))
+        if e is None:
+            return None
+        return e / max(np.linalg.norm(e), 1e-9)
+
+    def query_points_by_text(self, text: str, clip_model=None, top_k: int = 50):
+        """Open-vocabulary 3D query: rank fused map points against a text
+        prompt (the f3rm-style capability the reference gets from CLIP
+        embeddings).  Returns (pids, similarities) sorted descending."""
+        if clip_model is None:
+            clip_model = getattr(self.segmenter, "model", None)
+        if clip_model is None or not self.point_embeddings:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        t = clip_model.encode_text([f"a photo of a {text}"])[0]
+        pids = np.fromiter(self.point_embeddings.keys(), np.int64)
+        embs = np.stack([self.point_embedding(p) for p in pids])
+        sims = embs @ t
+        order = np.argsort(-sims)[:top_k]
+        return pids[order], sims[order].astype(np.float32)
 
 
 def semantic_mapping_factory(slam_map, config=None, **kw) -> SemanticMappingDense:
