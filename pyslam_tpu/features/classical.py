@@ -85,3 +85,59 @@ class CvSIFTExtractor:
             response=jnp.asarray(resp), desc=jnp.asarray(desc),
             valid=jnp.asarray(valid),
         )
+
+
+class ShiTomasiExtractor:
+    """TPU-native Shi-Tomasi (min-eigenvalue) corner detector (reference
+    ``feature_shitomasi.py`` wraps cv2.goodFeaturesToTrack; the response
+    here is the closed-form smaller structure-tensor eigenvalue over
+    Gaussian-windowed Sobel gradients, selected by grid top-k NMS).
+    Primarily the LK tracker's seed detector; composes with the patch
+    descriptor networks for descriptor-based presets."""
+
+    def __init__(self, num_features: int = 1000, nms_cell: int = 8,
+                 window_sigma: float = 1.5):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from pyslam_tpu.ops import image as image_ops
+        from pyslam_tpu.ops import nms as nms_ops
+
+        self.num_features = num_features
+        self.nms_cell = nms_cell
+        self.scale_factors = np.array([1.0], np.float32)
+        self.sigma2 = np.array([1.0], np.float32)
+        self.inv_sigma2 = 1.0 / self.sigma2
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def _run(img, n):
+            gx, gy = image_ops.sobel_gradients(img / 255.0)
+            sxx = image_ops.gaussian_blur(gx * gx, sigma=window_sigma)
+            syy = image_ops.gaussian_blur(gy * gy, sigma=window_sigma)
+            sxy = image_ops.gaussian_blur(gx * gy, sigma=window_sigma)
+            tr = 0.5 * (sxx + syy)
+            det = jnp.sqrt(jnp.maximum(
+                (0.5 * (sxx - syy)) ** 2 + sxy * sxy, 0.0))
+            score = tr - det                     # min eigenvalue
+            return nms_ops.grid_topk_keypoints(
+                score, cell=self.nms_cell, per_cell=4, max_out=n)
+
+        self._run = _run
+
+    def __call__(self, img) -> FeatureData:
+        img = np.asarray(img, np.float32)
+        if img.ndim == 3:
+            img = img.mean(-1)
+        import jax.numpy as jnp
+
+        xy, resp, valid = self._run(jnp.asarray(img), self.num_features)
+        n = self.num_features
+        return FeatureData(
+            xy=xy, level=jnp.zeros((n,), jnp.int32),
+            angle=jnp.zeros((n,), jnp.float32),
+            size=jnp.full((n,), 10.0, jnp.float32),
+            response=resp,
+            desc=jnp.zeros((n, 1), jnp.float32),   # LK seeds: no descriptor
+            valid=valid)

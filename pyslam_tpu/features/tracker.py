@@ -92,6 +92,13 @@ class FeatureTrackerConfigs:
         tracker_type=FeatureTrackerTypes.LK,
         num_levels=3,
     )
+    LK_SHI_TOMASI = FeatureTrackerConfig(  # reference LK default seeds
+        name="LK_SHI_TOMASI",
+        detector_type=FeatureDetectorTypes.SHI_TOMASI,
+        tracker_type=FeatureTrackerTypes.LK,
+        num_features=1000,
+        num_levels=1,
+    )
     # learned-feature presets activate the flax models when weights are present
     SUPERPOINT = FeatureTrackerConfig(
         name="SUPERPOINT",
@@ -205,6 +212,13 @@ class FeatureTrackerConfigs:
     )
     ORB2_TFEAT = FeatureTrackerConfig(
         name="ORB2_TFEAT", descriptor_type=FeatureDescriptorTypes.TFEAT,
+    )
+    SHI_TOMASI_HARDNET = FeatureTrackerConfig(
+        name="SHI_TOMASI_HARDNET",
+        detector_type=FeatureDetectorTypes.SHI_TOMASI,
+        descriptor_type=FeatureDescriptorTypes.HARDNET,
+        num_features=1000,
+        num_levels=1,
     )
     SURF = FeatureTrackerConfig(
         name="SURF",
@@ -427,6 +441,12 @@ class FeatureTracker:
             self.extractor = R2D2Extractor(
                 num_features=config.num_features,
                 checkpoint=config.extra.get("checkpoint"))
+            self.norm = NormType.L2
+        elif config.detector_type == FeatureDetectorTypes.SHI_TOMASI:
+            from pyslam_tpu.features.classical import ShiTomasiExtractor
+
+            self.extractor = ShiTomasiExtractor(
+                num_features=config.num_features)
             self.norm = NormType.L2
         elif config.detector_type in (FeatureDetectorTypes.SIFT,
                                       FeatureDetectorTypes.ROOT_SIFT):
