@@ -180,11 +180,34 @@ class TSDFVolume:
         return (occ & (c >= np.asarray(min_xyz)).all(1)
                 & (c <= np.asarray(max_xyz)).all(1))
 
+    def _clear_slots(self, idx):
+        """Free table slots: clear ``occupied`` AND zero tsdf/weight/color.
+
+        insert_and_accumulate treats ~occupied slots as empty and blends new
+        updates into whatever accumulators the slot holds — leaving stale
+        values behind would resurrect carved voxels or leak one voxel's
+        state into an unrelated voxel that later claims the slot.
+        """
+        occ = np.array(self.table.occupied)
+        occ[idx] = False
+        tsdf = np.array(self.table.tsdf)
+        tsdf[idx] = 0.0
+        wt = np.array(self.table.weight)
+        wt[idx] = 0.0
+        col = np.array(self.table.color)
+        col[idx] = 0.0
+        self.table = self.table._replace(
+            occupied=jnp.asarray(occ),
+            tsdf=jnp.asarray(tsdf),
+            weight=jnp.asarray(wt),
+            color=jnp.asarray(col),
+        )
+
     def crop_bbox(self, min_xyz, max_xyz):
         """Drop every voxel outside the box (reference bounding-box crop)."""
         keep = self.voxels_in_bbox(min_xyz, max_xyz)
-        occ = np.asarray(self.table.occupied) & keep
-        self.table = self.table._replace(occupied=jnp.asarray(occ))
+        drop = np.asarray(self.table.occupied) & ~keep
+        self._clear_slots(np.flatnonzero(drop))
 
     def voxels_in_frustum(self, Twc, K, hw, near: float = 0.05,
                           far: float | None = None) -> np.ndarray:
@@ -226,9 +249,7 @@ class TSDFVolume:
         idx = np.flatnonzero(in_f)[free]
         if len(idx) == 0:
             return 0
-        occ = np.array(self.table.occupied)   # writable host copy
-        occ[idx] = False
-        self.table = self.table._replace(occupied=jnp.asarray(occ))
+        self._clear_slots(idx)
         return int(len(idx))
 
     # ---------------------------------------------------------- persistence

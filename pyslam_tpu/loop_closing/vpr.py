@@ -52,7 +52,7 @@ class AlexNetExtractor:
         if checkpoint:
             import torch
 
-            sd = torch.load(checkpoint, map_location="cpu")
+            sd = torch.load(checkpoint, map_location="cpu", weights_only=True)
             if isinstance(sd, dict) and "state_dict" in sd:
                 sd = sd["state_dict"]
             self.params = alexnet_from_torch(sd)

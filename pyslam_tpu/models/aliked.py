@@ -328,7 +328,7 @@ class AlikedExtractor:
     def load_checkpoint(self, path: str):
         import torch
 
-        sd = torch.load(path, map_location="cpu")
+        sd = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         self.net_params, self.head_params = aliked_from_torch(sd, None)

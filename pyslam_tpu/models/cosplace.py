@@ -109,7 +109,7 @@ class CosPlaceExtractor:
         if checkpoint:
             import torch
 
-            sd = torch.load(checkpoint, map_location="cpu")
+            sd = torch.load(checkpoint, map_location="cpu", weights_only=True)
             if isinstance(sd, dict) and "model_state_dict" in sd:
                 sd = sd["model_state_dict"]
             self.variables, arch, out_dim = cosplace_from_torch(sd)

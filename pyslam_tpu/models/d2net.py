@@ -125,7 +125,7 @@ class D2NetExtractor:
     def load_checkpoint(self, path: str):
         import torch
 
-        ckpt = torch.load(path, map_location="cpu")
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
         sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
         self.params = d2net_from_torch(sd)
 

@@ -125,7 +125,7 @@ class DeepLabV3Segmenter:
         if checkpoint:
             import torch
 
-            sd = torch.load(checkpoint, map_location="cpu")
+            sd = torch.load(checkpoint, map_location="cpu", weights_only=True)
             if isinstance(sd, dict) and "state_dict" in sd:
                 sd = sd["state_dict"]
             self.variables = deeplabv3_from_torch(sd, num_classes)

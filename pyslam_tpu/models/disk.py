@@ -139,7 +139,7 @@ class DiskExtractor:
     def load_checkpoint(self, path: str):
         import torch
 
-        sd = torch.load(path, map_location="cpu")
+        sd = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "extractor" in sd:
             sd = sd["extractor"]  # official depth-save.pth layout
         if isinstance(sd, dict) and "state_dict" in sd:

@@ -151,7 +151,7 @@ class KeyNetExtractor:
     def load_checkpoint(self, path: str):
         import torch
 
-        ckpt = torch.load(path, map_location="cpu")
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
         sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
         self.params = keynet_from_torch(sd)
 

@@ -333,7 +333,7 @@ class PatchDescriptorExtractor:
             raise NotImplementedError(
                 f"{self.kind}: TF1-era weights — supply converted .npz "
                 "variables instead (models/torch_convert.load_variables_npz)")
-        sd = torch.load(path, map_location="cpu")
+        sd = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         self.variables = self._converter(sd)

@@ -323,7 +323,8 @@ def dust3r_from_torch(state_dict, params_template):
 def dust3r_from_torch_file(path: str, params_template):
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    # untrusted third-party checkpoint: never unpickle arbitrary objects
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = sd.get("model", sd.get("state_dict", sd)) if isinstance(sd, dict) else sd
     return dust3r_from_torch(sd, params_template)
 

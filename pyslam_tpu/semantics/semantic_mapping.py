@@ -61,6 +61,36 @@ class SemanticMappingDense:
         # (reference 'embedding' representation + averaging fusion)
         self.point_embeddings: dict[int, np.ndarray] = {}
         self.point_embedding_counts: dict[int, int] = {}
+        # prune/merge accumulators when the map deletes or replaces points —
+        # otherwise query_points_by_text returns dead pids and the dicts grow
+        # without bound
+        listeners = getattr(self.map, "point_removal_listeners", None)
+        if listeners is not None:
+            listeners.append(self._on_point_removed)
+
+    def _on_point_removed(self, old_pid: int, new_pid: int | None):
+        scores = self.point_scores.pop(old_pid, None)
+        emb = self.point_embeddings.pop(old_pid, None)
+        cnt = self.point_embedding_counts.pop(old_pid, 0)
+        if new_pid is None:
+            return
+        if scores is not None:
+            acc = self.point_scores.get(new_pid)
+            self.point_scores[new_pid] = (
+                scores if acc is None else acc + scores
+            )
+        if emb is not None:
+            n_new = self.point_embedding_counts.get(new_pid, 0)
+            mean_new = self.point_embeddings.get(new_pid)
+            if mean_new is None:
+                self.point_embeddings[new_pid] = emb
+                self.point_embedding_counts[new_pid] = cnt
+            else:
+                tot = n_new + cnt
+                self.point_embeddings[new_pid] = (
+                    (mean_new * n_new + emb * cnt) / max(tot, 1)
+                )
+                self.point_embedding_counts[new_pid] = tot
 
     def add_keyframe(self, kf, img=None):
         if img is None:

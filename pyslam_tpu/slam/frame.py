@@ -232,6 +232,10 @@ class KeyFrame(Frame):
     def __init__(self, frame: Frame, kid: int | None = None):
         # share arrays with the source frame (no copy)
         self.__dict__.update(frame.__dict__)
+        # the fused-stereo device descriptor handle is only needed while the
+        # frame is f_cur; keeping it on every keyframe pins ~N*D bytes of
+        # device memory per KF for the whole session
+        self._des_dev = None
         if kid is None:
             self.kid = KeyFrame._kid_counter
             KeyFrame._kid_counter += 1

@@ -86,6 +86,10 @@ class Map:
         # C++ mirror accelerates covisibility counting when the toolchain is
         # available — see pyslam_tpu.native)
         self.observations: dict[int, dict[int, int]] = {}
+        # callbacks fired on delete_point(pid)/replace_point(old,new) so
+        # sidecar per-point stores (semantic accumulators, embeddings) can
+        # prune/merge; signature cb(old_pid, new_pid_or_None)
+        self.point_removal_listeners: list = []
         self.max_frame_id = 0
         self.max_keyframe_id = 0
         self._native = None
@@ -174,6 +178,8 @@ class Map:
             if kf is not None and kf.points[kp_idx] == pid:
                 kf.points[kp_idx] = -1
         self.points.valid[pid] = False
+        for cb in self.point_removal_listeners:
+            cb(int(pid), None)
 
     def replace_point(self, old_pid: int, new_pid: int):
         """MapPoint.replace_with semantics (reference map_point.py): rebind all
@@ -204,6 +210,8 @@ class Map:
         st.num_obs[new_pid] = len(self.observations.get(new_pid, {}))
         st.replaced_by[old_pid] = new_pid
         st.valid[old_pid] = False
+        for cb in self.point_removal_listeners:
+            cb(int(old_pid), int(new_pid))
 
     def resolve_replacements(self, pids: np.ndarray) -> np.ndarray:
         """Follow replaced_by chains (bounded) for an id array."""

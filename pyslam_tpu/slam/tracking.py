@@ -307,8 +307,11 @@ class Tracking:
         """Device copies of the point-store arrays, invalidated by
         ``Map.store_version`` (mutations happen at keyframe granularity, so
         consecutive frames reuse the same upload)."""
-        key = (getattr(self.map, "store_version", -1), st.capacity,
-               st.desc.shape[1], str(st.desc.dtype))
+        # id(self.map) guards against a swapped Map (reset / load_system_state)
+        # whose fresh store_version counter would otherwise collide with the
+        # previous map's cached device arrays
+        key = (id(self.map), getattr(self.map, "store_version", -1),
+               st.capacity, st.desc.shape[1], str(st.desc.dtype))
         if self._store_cache is None or self._store_cache[0] != key:
             self._store_cache = (key, (
                 jnp.asarray(st.pos.astype(np.float32)),

@@ -179,7 +179,7 @@ def convert(model: str, input_path: str, output_path: str):
         variables = converter[1](input_path)
         save_variables_npz(output_path, variables)
         return output_path
-    sd = torch.load(input_path, map_location="cpu")
+    sd = torch.load(input_path, map_location="cpu", weights_only=True)
     for k in ("state_dict", "model", "extractor", "model_state_dict"):
         if isinstance(sd, dict) and k in sd and isinstance(sd[k], dict):
             sd = sd[k]

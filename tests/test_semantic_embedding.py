@@ -47,3 +47,47 @@ def test_embedding_fusion_and_text_query():
 
     # classic label fusion still works alongside
     assert sm.point_label(7) >= 0
+
+
+def test_accumulators_pruned_on_point_removal():
+    """Map.delete_point/replace_point must prune/merge semantic sidecars."""
+    from pyslam_tpu.semantics.semantic_mapping import (
+        SemanticFeatureType, SemanticMappingConfig, SemanticMappingDense)
+    from pyslam_tpu.slam.map import Map
+
+    m = Map()
+
+    class _NoopSeg:
+        num_classes = 3
+
+        def infer(self, img):
+            raise AssertionError("not used")
+
+    sm = SemanticMappingDense(
+        slam_map=m,
+        config=SemanticMappingConfig(
+            feature_type=SemanticFeatureType.FEATURE_VECTOR),
+        segmenter=_NoopSeg())
+
+    # seed two points' accumulators by hand
+    sm.point_scores[0] = np.array([1.0, 0.0, 0.0], np.float32)
+    sm.point_scores[1] = np.array([0.0, 2.0, 0.0], np.float32)
+    sm.point_embeddings[0] = np.array([1.0, 0.0], np.float32)
+    sm.point_embedding_counts[0] = 1
+    sm.point_embeddings[1] = np.array([0.0, 1.0], np.float32)
+    sm.point_embedding_counts[1] = 3
+
+    # create two real points so delete/replace paths run
+    import numpy as _np
+    pids = m.points.new_points(2)
+    m.points.pos[pids] = _np.array([[0, 0, 1], [0, 0, 2]], float)
+    m.points.valid[pids] = True
+
+    m.replace_point(0, 1)          # merge 0 -> 1
+    assert 0 not in sm.point_scores
+    assert 0 not in sm.point_embeddings
+    np.testing.assert_allclose(sm.point_scores[1], [1.0, 2.0, 0.0])
+    assert sm.point_embedding_counts[1] == 4
+    m.delete_point(1)
+    assert 1 not in sm.point_scores and 1 not in sm.point_embeddings
+    assert sm.point_embedding_counts == {}

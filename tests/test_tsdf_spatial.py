@@ -60,3 +60,36 @@ def test_crop_bbox(volume):
     assert 0 < vol.num_voxels() < n0
     pts, _ = vol.extract_point_cloud()
     assert (np.abs(pts[:, :2]) <= 0.55).all()
+
+
+def test_carve_then_reintegrate_fresh_state(volume):
+    """Regression: carving must zero the freed slots' accumulators.
+
+    Otherwise insert_and_accumulate re-claims ~occupied slots as empty and
+    blends fresh updates into the stale tsdf/weight (w_old up to 200) —
+    carved voxels resurrect their old state."""
+    from copy import deepcopy
+
+    vol = deepcopy(volume)
+    H, W = vol._hw
+    # saturate the wall's weights with repeated integration
+    depth = np.full((H, W), 2.0, np.float32)
+    inten = np.full((H, W), 128.0, np.float32)
+    for _ in range(5):
+        vol.integrate(depth, inten, np.eye(4, dtype=np.float32), vol._K)
+    carved = vol.carve(np.full((H, W), 3.0, np.float32), np.eye(4), vol._K)
+    assert carved > 0
+    # freed slots must hold zeroed accumulators
+    occ = np.asarray(vol.table.occupied)
+    assert np.all(np.asarray(vol.table.weight)[~occ] == 0.0)
+    assert np.all(np.asarray(vol.table.tsdf)[~occ] == 0.0)
+    # re-integrating a DIFFERENT surface must not inherit stale weights:
+    # one integration pass => per-voxel weight bounded by a single pass's
+    # contribution, far below the saturated 5-pass value
+    vol.integrate(np.full((H, W), 2.5, np.float32), inten,
+                  np.eye(4, dtype=np.float32), vol._K)
+    pts, _ = vol.extract_point_cloud(min_weight=0.5)
+    assert len(pts) > 0
+    # all live voxels near the new surface, none resurrected at z~2.0
+    zs = pts[:, 2]
+    assert (np.abs(zs - 2.5) < 0.25).sum() > 0.9 * len(zs)
