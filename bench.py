@@ -1,14 +1,22 @@
 #!/usr/bin/env python3
-"""Benchmark: end-to-end SLAM frontend FPS on one TPU chip.
+"""End-to-end stereo SLAM benchmark on one TPU chip.
 
-Measures the fused per-frame pipeline (ORB2 extraction at 2000 features over
-8 pyramid levels on a KITTI-sized 376x1241 frame + MXU Hamming matching
-against a 2048-point local map + 4x10 LM pose optimization) — the hot path of
-``Tracking.track`` — amortized over a stream of frames with dispatches kept in
-flight (how a real tracker runs: enqueue next frame while the last finishes).
+Honest measurement of the BASELINE.md target ("end-to-end stereo SLAM FPS on
+KITTI: extract + match + depth + TSDF"): runs the REAL ``Slam.track()`` on a
+KITTI-sized (376x1241) synthetic stereo stream — fused stereo frame
+construction (left+right ORB2 extraction at 2000 features/8 levels + row
+stereo match + sparse depth), fused map tracking, keyframe creation, local
+mapping (triangulation/fuse/LBA) amortized in-stream, plus per-keyframe TSDF
+integration of the stereo depth.  Frames are pre-rendered so host rendering
+cost is excluded; everything else (H2D, dispatch, readbacks, host
+bookkeeping, back-end) is included in the steady-state timing.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is against the 60 FPS end-to-end target from BASELINE.md (the
+Reports steady-state FPS over the timed window plus latency percentiles
+(p50/p95 overall and p95 on keyframe frames — the latency spike the async
+back-end must bound) and the separately-measured TSDF integration rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline against the 60 FPS end-to-end target from BASELINE.md (the
 reference publishes no FPS numbers; its Python pipeline is explicitly
 non-real-time, pyslam tracking.py:990).
 """
@@ -19,66 +27,166 @@ import time
 
 import numpy as np
 
+H, W = 376, 1241          # KITTI odometry frame
+FX = 718.856
+BASELINE_M = 0.54          # KITTI stereo baseline
+N_FEATURES = 2000
+N_LEVELS = 8
+N_FRAMES = 120
+N_WARMUP = 18              # covers compile of frame/track/KF/LBA graph shapes
+TARGET_FPS = 60.0
+
+
+def build_stream():
+    from pyslam_tpu.io.dataset import SyntheticDataset, SyntheticWorld
+    from pyslam_tpu.io.dataset_types import SensorType
+
+    world = SyntheticWorld(n_points=12000, extent=60.0, depth_range=(4.0, 80.0))
+    ds = SyntheticDataset(
+        num_frames=N_FRAMES, h=H, w=W, fx=FX, baseline=BASELINE_M,
+        trajectory="line", step=0.8, sensor_type=SensorType.STEREO,
+        world=world,
+    )
+    import os
+    cache = f"/tmp/pyslam_tpu_bench_frames_{N_FRAMES}x{H}x{W}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        left, right, ts = z["left"], z["right"], z["ts"]
+        frames = [(left[i], right[i], float(ts[i])) for i in range(N_FRAMES)]
+        return ds, frames
+    print(f"pre-rendering {N_FRAMES} stereo frames ...", file=sys.stderr)
+    frames = [
+        (ds.getImage(i), ds.getImageRight(i), ds.getTimestamp(i))
+        for i in range(N_FRAMES)
+    ]
+    np.savez(
+        cache,
+        left=np.stack([f[0] for f in frames]).astype(np.uint8),
+        right=np.stack([f[1] for f in frames]).astype(np.uint8),
+        ts=np.asarray([f[2] for f in frames]),
+    )
+    return ds, frames
+
+
+def build_slam(ds):
+    from pyslam_tpu.dense.volumetric_integrator import (
+        VolumetricIntegratorType,
+        volumetric_integrator_factory,
+    )
+    from pyslam_tpu.features.tracker import FeatureTrackerConfig
+    from pyslam_tpu.io.dataset_types import SensorType
+    from pyslam_tpu.slam.camera import PinholeCamera
+    from pyslam_tpu.slam.slam import Slam
+
+    from pyslam_tpu.config_parameters import Parameters
+
+    cam = PinholeCamera(
+        ds.w, ds.h, ds.fx, ds.fy, ds.cx, ds.cy,
+        fps=ds.fps, bf=ds.fx * ds.baseline, depth_threshold=35.0,
+    )
+    cfg = FeatureTrackerConfig(num_features=N_FEATURES, num_levels=N_LEVELS)
+    slam = Slam(cam, cfg, sensor_type=SensorType.STEREO)
+    # stereo has no native dense depth: the integrator estimates it with the
+    # on-device SGM matcher per keyframe (the "depth" part of the target)
+    Parameters.kVolumetricIntegrationUseDepthEstimator = True
+    Parameters.kVolumetricIntegrationDepthEstimatorType = "sgbm"
+    Parameters.kVolumetricIntegrationDepthTruncOutdoor = 40.0
+    integrator = volumetric_integrator_factory(
+        VolumetricIntegratorType.TSDF, camera=cam,
+        environment_type=type("E", (), {"name": "OUTDOOR"})(),
+        voxel_size=0.2, sdf_trunc=0.6,
+    )
+    slam.set_volumetric_integrator(integrator)
+    return slam, integrator
+
+
+def bench_tsdf_rate(integrator, camera):
+    """Standalone TSDF integration rate (KITTI-sized depth images)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    depths = [
+        np.clip(rng.uniform(4.0, 60.0, (H, W)), 0, None).astype(np.float32)
+        for _ in range(3)
+    ]
+    inten = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    Twc = np.eye(4)
+    vol = integrator.volume
+    vol.integrate(depths[0], inten, Twc, camera.K)   # compile
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        vol.integrate(depths[i % 3], inten, Twc, camera.K)
+    jax.block_until_ready(vol.table.tsdf)
+    dt = (time.perf_counter() - t0) / n
+    return 1.0 / dt
+
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    ds, frames = build_stream()
+    slam, integrator = build_slam(ds)
 
-    from pyslam_tpu.pipeline import frontend_step
+    lats = []          # per-frame wall latency (timed window)
+    kf_flags = []      # was a keyframe created on this frame?
+    t_bench_0 = None
+    n_kf_before = 0
 
-    rng = np.random.default_rng(0)
-    h, w = 376, 1241
-    M = 2048
-    K = jnp.asarray(
-        [[718.856, 0, 607.19], [0, 718.856, 185.2], [0, 0, 1]], jnp.float32
+    for i, (img_l, img_r, ts) in enumerate(frames):
+        if i == N_WARMUP:
+            t_bench_0 = time.perf_counter()
+        t0 = time.perf_counter()
+        slam.track(img_l, img_right=img_r, frame_id=i, timestamp=ts)
+        t1 = time.perf_counter()
+        n_kf = slam.map.num_keyframes()
+        if i >= N_WARMUP:
+            lats.append(t1 - t0)
+            kf_flags.append(n_kf > n_kf_before)
+        n_kf_before = n_kf
+        if i % 10 == 0 or (t1 - t0) > 5.0:
+            print(
+                f"  frame {i}: {1e3*(t1-t0):.0f}ms "
+                f"(kfs={n_kf}, pts={slam.map.num_points()})",
+                file=sys.stderr, flush=True,
+            )
+    t_bench_1 = time.perf_counter()
+    slam.finish()
+    t_drain = time.perf_counter() - t_bench_1
+
+    n_timed = len(lats)
+    wall = t_bench_1 - t_bench_0 + t_drain  # include residual back-end drain
+    fps = n_timed / wall
+    lats_ms = np.asarray(lats) * 1e3
+    kf_flags = np.asarray(kf_flags)
+    p50 = float(np.percentile(lats_ms, 50))
+    p95 = float(np.percentile(lats_ms, 95))
+    kf_p95 = (
+        float(np.percentile(lats_ms[kf_flags], 95)) if kf_flags.any() else -1.0
     )
-    map_pos = jnp.asarray(
-        np.concatenate(
-            [rng.uniform(-10, 10, (M, 2)), rng.uniform(5, 40, (M, 1))], 1
-        ).astype(np.float32)
+    n_tracked = len(slam.tracking.history.timestamps)
+    n_kfs = slam.map.num_keyframes()
+    tsdf_n = integrator.volume.num_voxels()
+
+    print(
+        f"steady-state: {fps:.1f} FPS over {n_timed} frames "
+        f"(wall {wall:.2f}s incl. {t_drain*1e3:.0f}ms drain) | "
+        f"latency p50 {p50:.1f}ms p95 {p95:.1f}ms kf-frame p95 {kf_p95:.1f}ms | "
+        f"{n_tracked}/{N_FRAMES} tracked, {n_kfs} KFs, {tsdf_n} TSDF voxels",
+        file=sys.stderr,
     )
-    map_desc = jnp.asarray(rng.integers(0, 2, (M, 256)).astype(np.int8))
-    map_valid = jnp.ones((M,), bool)
-    Tcw = jnp.eye(4, dtype=jnp.float32)
+    if slam.timings() is not None:
+        print(slam.timings_summary(), file=sys.stderr)
 
-    # frame stream: a few distinct images cycled (device-resident)
-    frames = [
-        jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
-        for _ in range(4)
-    ]
-
-    def step(img):
-        feats, kp_match, Tcw_opt, n_inl = frontend_step(
-            img, map_pos, map_desc, map_valid, Tcw, K
-        )
-        return Tcw_opt, n_inl
-
-    t0 = time.time()
-    out = step(frames[0])
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    print(f"compile: {compile_s:.1f}s", file=sys.stderr)
-
-    # warmup
-    for i in range(3):
-        out = step(frames[i % 4])
-    jax.block_until_ready(out)
-
-    n_iters = 40
-    t0 = time.time()
-    outs = [step(frames[i % 4]) for i in range(n_iters)]
-    jax.block_until_ready(outs[-1])
-    dt = (time.time() - t0) / n_iters
-    fps = 1.0 / dt
-    print(f"frontend: {dt*1000:.2f} ms/frame = {fps:.1f} FPS", file=sys.stderr)
+    tsdf_rate = bench_tsdf_rate(integrator, slam.camera)
+    print(f"TSDF integration: {tsdf_rate:.1f} frames/s standalone",
+          file=sys.stderr)
 
     print(
         json.dumps(
             {
-                "metric": "slam_frontend_fps_kitti_stereo_2000feat",
+                "metric": "slam_e2e_stereo_fps_kitti_sized_2000feat_tsdf",
                 "value": round(fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 60.0, 3),
+                "vs_baseline": round(fps / TARGET_FPS, 3),
             }
         )
     )

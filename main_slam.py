@@ -42,7 +42,14 @@ def main():
     ap.add_argument("--loop_detector", default="DBOW3")
     ap.add_argument("--no_loop_closing", action="store_true")
     ap.add_argument("--volumetric", action="store_true",
-                    help="run TSDF integration on keyframes (rgbd)")
+                    help="run TSDF integration on keyframes (rgbd natively; "
+                         "stereo/mono via the integrator's depth estimator)")
+    ap.add_argument("--depth_estimator", default=None,
+                    metavar="TYPE",
+                    help="attach a depth estimator (e.g. sgbm, "
+                         "depth_anything_v2): upgrades a monocular stream to "
+                         "RGBD (reference main_slam.py:127-130) and provides "
+                         "dense depth for --volumetric on stereo")
     ap.add_argument("--semantics", action="store_true")
     ap.add_argument("--save_state", default=None, help="folder for map.json")
     ap.add_argument("--load_state", default=None)
@@ -107,8 +114,20 @@ def main():
     if args.no_loop_closing:
         loop_cfg = None
 
+    depth_estimator = None
+    if args.depth_estimator and sensor == SensorType.MONOCULAR:
+        # MONOCULAR -> RGBD upgrade: per-frame estimated depth in the
+        # front-end (reference main_slam.py:127-130,232-245)
+        from pyslam_tpu.depth_estimation.depth_estimator import (
+            depth_estimator_factory,
+        )
+
+        depth_estimator = depth_estimator_factory(
+            args.depth_estimator, camera=camera
+        )
+
     slam = Slam(camera, tracker_cfg, loop_detector_config=loop_cfg,
-                sensor_type=sensor)
+                sensor_type=sensor, depth_estimator=depth_estimator)
 
     if args.load_state:
         slam.load_system_state(args.load_state)
@@ -119,10 +138,20 @@ def main():
             VolumetricIntegratorType, volumetric_integrator_factory,
         )
 
+        if sensor == SensorType.STEREO or (
+            args.depth_estimator and sensor != SensorType.RGBD
+        ):
+            # no native dense depth: estimate it inside the integrator
+            Parameters.kVolumetricIntegrationUseDepthEstimator = True
+            if args.depth_estimator:
+                Parameters.kVolumetricIntegrationDepthEstimatorType = (
+                    args.depth_estimator
+                )
         integrator = volumetric_integrator_factory(
             VolumetricIntegratorType.TSDF, camera=camera,
             environment_type=dataset.environment_type,
         )
+        slam.set_volumetric_integrator(integrator)   # saved with the state
     semantic_mapping = None
     if args.semantics:
         from pyslam_tpu.semantics.semantic_mapping import semantic_mapping_factory
@@ -152,14 +181,11 @@ def main():
             )
         if slam.state.name != "OK":
             num_lost += 1
-        # feed aux modules at keyframe granularity
+        # feed aux modules at keyframe granularity (the volumetric
+        # integrator is fed by Slam.track itself via offer_keyframe_data)
         if slam.map.num_keyframes() > last_kf_count:
             last_kf_count = slam.map.num_keyframes()
             kf = slam.map.last_keyframe()
-            if integrator is not None and depth is not None:
-                integrator.add_keyframe(kf, depth=np.where(depth > 0, depth, 0.0),
-                                        intensity=img)
-                integrator.run_all()
             if semantic_mapping is not None:
                 semantic_mapping.add_keyframe(kf, img=img)
                 semantic_mapping.run_all()

@@ -72,6 +72,12 @@ class Parameters:
     kChi2Mono = 5.991                       # chi-square 2 dof 95%
     kChi2Stereo = 7.815                     # chi-square 3 dof 95%
     kOptimizerLBAIterations = 10
+    # LBA problem caps = the ONE padded TPU shape (cameras / points /
+    # observations); each distinct shape is a separate XLA compile, so the
+    # TPU path always pads to exactly these (see local_mapping._lba_build)
+    kLBAMaxCameras = 56          # >= window (20+1) + capped fixed set
+    kLBAMaxPoints = 4096
+    kLBAMaxObservations = 16384
     kOptimizerGBAIterations = 15
     kOptimizerPGOIterations = 30
 
@@ -116,6 +122,10 @@ class Parameters:
     kVolumetricIntegrationDepthTruncOutdoor = 10.0
     kVolumetricIntegrationMinNumLBATimes = 1
     kVolumetricIntegrationUseDepthEstimator = False
+    # estimator used when kVolumetricIntegrationUseDepthEstimator is on
+    # (reference kVolumetricIntegrationDepthEstimatorType, defaults to the
+    # native SGM stereo matcher; monocular runs use a learned estimator)
+    kVolumetricIntegrationDepthEstimatorType = "sgbm"
     kVolumetricIntegrationTableCapacity = 1 << 20  # voxel-hash table slots
 
     # ------------------------------------------------------------ semantics

@@ -31,13 +31,18 @@ class VolumetricIntegratorType(enum.Enum):
 
 class KeyframeSnapshot:
     """Depth+image+pose captured at integration time (the reference snapshots
-    keyframe data into its task queue for the child process)."""
+    keyframe data into its task queue for the child process).  ``depth`` may
+    be None when a depth provider will estimate it at integration time from
+    ``intensity`` (+ ``img_right`` for stereo) — the reference's
+    ``kVolumetricIntegrationUseDepthEstimator`` path
+    (``config_parameters.py:356``, ``volumetric_integrator_base.py``)."""
 
-    def __init__(self, kid, Twc, depth, intensity):
+    def __init__(self, kid, Twc, depth, intensity, img_right=None):
         self.kid = kid
         self.Twc = np.asarray(Twc)
         self.depth = depth
         self.intensity = intensity
+        self.img_right = img_right
 
 
 class VolumetricIntegrator:
@@ -62,17 +67,37 @@ class VolumetricIntegrator:
         )
         self._depth_provider = None  # optional DepthEstimator for mono/stereo
         self._slam_map = None
+        # keyframe image/depth data offered by the tracking front-end (the
+        # Frame does not retain full images; Slam.track snapshots them here
+        # at keyframe creation, keyed by kid, and add_keyframe consumes them
+        # when local mapping hands the keyframe over post-LBA)
+        self._pending_data: dict[int, tuple] = {}
 
     def set_depth_provider(self, estimator):
         self._depth_provider = estimator
 
     # ---------------------------------------------------------------- queue
-    def add_keyframe(self, kf, depth=None, intensity=None):
+    def offer_keyframe_data(self, kf, intensity=None, img_right=None,
+                            depth=None):
+        """Register raw frame data for a just-created keyframe (mirrors the
+        reference snapshotting keyframe images into the integration task
+        queue, ``volumetric_integrator_base.py``)."""
+        self._pending_data[kf.kid] = (intensity, img_right, depth)
+
+    def add_keyframe(self, kf, depth=None, intensity=None, img_right=None):
         if depth is None:
             depth = getattr(kf, "depth_img", None)
-        if depth is None:
+        pend = self._pending_data.pop(kf.kid, None)
+        if pend is not None:
+            p_int, p_right, p_depth = pend
+            intensity = intensity if intensity is not None else p_int
+            img_right = img_right if img_right is not None else p_right
+            depth = depth if depth is not None else p_depth
+        if depth is None and not (
+            self._depth_provider is not None and intensity is not None
+        ):
             return
-        snap = KeyframeSnapshot(kf.kid, kf.Twc, depth, intensity)
+        snap = KeyframeSnapshot(kf.kid, kf.Twc, depth, intensity, img_right)
         self.queue.append(snap)
         self.snapshots[kf.kid] = snap
         self._kf_ref = kf
@@ -89,11 +114,27 @@ class VolumetricIntegrator:
             pass
 
     def _integrate_snapshot(self, snap: KeyframeSnapshot):
+        if snap.depth is None:
+            if self._depth_provider is None or snap.intensity is None:
+                return
+            # estimate depth at integration time (reference
+            # kVolumetricIntegrationUseDepthEstimator): SGM from the stereo
+            # pair, or a monocular network on the left image.  Cache the
+            # result on the snapshot so rebuild() does not re-estimate.
+            depth, _ = self._depth_provider.infer(
+                snap.intensity, img_right=snap.img_right
+            )
+            snap.depth = np.where(np.isfinite(depth), depth, 0.0).astype(
+                np.float32
+            )
         intensity = (
             snap.intensity
             if snap.intensity is not None
             else np.full_like(snap.depth, 128.0)
         )
+        intensity = np.asarray(intensity, np.float32)
+        if intensity.ndim == 3:
+            intensity = intensity.mean(axis=-1)
         self.volume.integrate(snap.depth, intensity, snap.Twc, self.camera.K)
 
     # -------------------------------------------------------------- rebuild
@@ -124,6 +165,7 @@ class VolumetricIntegrator:
         self.volume.reset()
         self.queue.clear()
         self.snapshots.clear()
+        self._pending_data.clear()
 
 
 def volumetric_integrator_factory(
@@ -140,12 +182,32 @@ def volumetric_integrator_factory(
         if getattr(environment_type, "name", "") == "OUTDOOR"
         else Parameters.kVolumetricIntegrationDepthTruncIndoor
     )
+
+    def _attach_depth_provider(integ):
+        """kVolumetricIntegrationUseDepthEstimator (reference
+        config_parameters.py:356): estimate dense depth inside the
+        integrator for sensors without native depth (stereo -> SGM by
+        default, monocular -> the configured network)."""
+        if not Parameters.kVolumetricIntegrationUseDepthEstimator:
+            return integ
+        from pyslam_tpu.depth_estimation.depth_estimator import (
+            depth_estimator_factory,
+        )
+
+        integ.set_depth_provider(
+            depth_estimator_factory(
+                Parameters.kVolumetricIntegrationDepthEstimatorType,
+                camera=camera,
+            )
+        )
+        return integ
     if integrator_type in (
         VolumetricIntegratorType.TSDF,
         VolumetricIntegratorType.VOXEL_GRID,
     ):
         vol = TSDFVolume(depth_trunc=depth_trunc, **kw)
-        return VolumetricIntegrator(camera, integrator_type, vol)
+        return _attach_depth_provider(
+            VolumetricIntegrator(camera, integrator_type, vol))
     if integrator_type in (
         VolumetricIntegratorType.VOXEL_SEMANTIC_GRID,
         VolumetricIntegratorType.VOXEL_SEMANTIC_PROBABILISTIC_GRID,
@@ -153,12 +215,14 @@ def volumetric_integrator_factory(
         from pyslam_tpu.dense.semantic_volume import SemanticTSDFVolume
 
         vol = SemanticTSDFVolume(depth_trunc=depth_trunc, **kw)
-        return VolumetricIntegrator(camera, integrator_type, vol)
+        return _attach_depth_provider(
+            VolumetricIntegrator(camera, integrator_type, vol))
     if integrator_type == VolumetricIntegratorType.GAUSSIAN_SPLATTING:
         from pyslam_tpu.dense.gaussian_splatting_integrator import (
             GaussianSplattingVolume,
         )
 
         vol = GaussianSplattingVolume(depth_trunc=depth_trunc, **kw)
-        return VolumetricIntegrator(camera, integrator_type, vol)
+        return _attach_depth_provider(
+            VolumetricIntegrator(camera, integrator_type, vol))
     raise NotImplementedError(f"integrator {integrator_type} not available yet")

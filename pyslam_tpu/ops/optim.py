@@ -301,11 +301,15 @@ def _inv3x3(M):
     return adj / det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "use_robust"))
+@functools.partial(
+    jax.jit, static_argnames=("iters", "use_robust", "return_state")
+)
 def bundle_adjust(
     problem: BAProblem,
     iters: int = 10,
     use_robust: bool = True,
+    lam0=None,
+    return_state: bool = False,
 ):
     """Joint pose+point LM with exact Schur complement, dense reduced solve.
 
@@ -386,9 +390,19 @@ def bundle_adjust(
         return poses, points, lam, cost
 
     cost0, _, _ = ba_cost_and_chi2(problem, use_robust)
-    poses, points, _, cost = jax.lax.fori_loop(
-        0, iters, body, (problem.poses, problem.points, jnp.asarray(1e-4, problem.poses.dtype), cost0)
+    lam_init = (
+        jnp.asarray(1e-4, problem.poses.dtype)
+        if lam0 is None
+        else jnp.asarray(lam0, problem.poses.dtype)
     )
+    poses, points, lam, cost = jax.lax.fori_loop(
+        0, iters, body, (problem.poses, problem.points, lam_init, cost0)
+    )
+    if return_state:
+        # (poses, points, cost, lam): feeding lam back as lam0 makes a
+        # chunked run (N then M iters) bit-identical to one N+M-iter run —
+        # the async LBA relies on this to split iterations across polls
+        return poses, points, cost, lam
     return poses, points, cost
 
 

@@ -6,10 +6,20 @@ triangulate new points against covisible neighbors (epipolar-gated dense
 matching on device) -> fuse duplicates -> local bundle adjustment (Schur LM
 over the covisibility window) -> cull redundant keyframes (90% rule).
 
-Runs synchronously on the host scheduler (the reference's thread+queue exists
-to dodge the GIL; with all numeric work dispatched to the TPU there is no GIL
-contention, and ``step()`` interleaves with tracking at keyframe granularity
-exactly like the reference's single-thread mode ``tracking.py:1411-1419``).
+Scheduling: the reference runs this on a thread so tracking overlaps the
+back-end (``local_mapping.py:244-246``), with an abort flag letting tracking
+interrupt a long LBA when a new keyframe is pending (``tracking.py:906-907``,
+``optimizer_g2o.py:614-853``).  The TPU-native equivalent keeps ONE host
+thread and gets the overlap from JAX async dispatch instead: each tracked
+frame advances the back-end by one bounded slice (``step_async``) — host
+stages (associate/triangulate/fuse) run one per frame, and the LBA is
+dispatched to the device in iteration CHUNKS whose results are only polled
+(``jax.Array.is_ready``), never awaited.  Tracking latency on keyframe
+frames is therefore bounded by the largest single slice, not the whole
+pipeline; the device crunches LBA chunks while the host tracks the next
+frames.  ``push_keyframe`` with an LBA in flight sets ``opt_abort_flag``:
+no further chunks are dispatched and the partial result is applied — the
+same early-termination semantics as the reference's g2o abort flag.
 """
 
 from __future__ import annotations
@@ -45,6 +55,12 @@ class LocalMapping:
         self.kf_cur: KeyFrame | None = None
         self.opt_abort_flag = False
         self.time_lba = 0.0
+        # async scheduler state: the keyframe job being advanced slice-by-
+        # slice, and the in-flight chunked LBA (device futures + metadata)
+        self._job: KeyFrame | None = None
+        self._job_stage = 0
+        self._lba: dict | None = None
+        self.lba_chunks_aborted = 0   # observability for the abort test
         from pyslam_tpu.utils.profiling import StageTimings
 
         self.timings = StageTimings("local_mapping")
@@ -54,51 +70,154 @@ class LocalMapping:
 
     # --------------------------------------------------------------- queue
     def push_keyframe(self, kf: KeyFrame):
+        # interrupt protocol: a newly pending keyframe aborts the in-flight
+        # LBA (reference tracking.py:906-907 -> g2o abort flag) so the
+        # back-end reaches the fresh keyframe promptly
+        if self._lba is not None:
+            self.opt_abort_flag = True
         self.queue.append(kf)
 
     def is_idle(self) -> bool:
-        return len(self.queue) == 0
+        return (
+            len(self.queue) == 0
+            and self._job is None
+            and self._lba is None
+        )
 
     def queue_size(self) -> int:
         return len(self.queue)
 
+    # ------------------------------------------------------- async schedule
+    # job slices: 0=associate+cull, 1=triangulate, 2=fuse, 3=lba dispatch,
+    # 4=(lba in flight), 5=apply done -> cull_kfs + handoff
+    _N_SLICES = 6
+
+    def step_async(self) -> bool:
+        """Advance the back-end (call once per tracked frame).  Never blocks
+        on the device: consumes all progress available WITHOUT waiting — host
+        slices, plus LBA chunk transitions whose results are already ready —
+        then yields to tracking.  Returns True if any work was done."""
+        did = False
+        host_slices = 0
+        for _ in range(64):   # progress budget (each iteration is bounded)
+            if self._lba is not None:
+                if not self._lba_poll(block=False):
+                    break      # device busy: tracking continues
+                did = True
+                continue
+            if self._job is None:
+                if not self.queue:
+                    break
+                self._job = self.queue.popleft()
+                self._job_stage = 0
+                self.kf_cur = self._job
+            # healthy cadence: one host slice per frame; with MORE keyframes
+            # queued behind the current job, catch up
+            max_host = 1 if not self.queue else 4 * self._N_SLICES
+            if host_slices >= max_host:
+                break
+            self._advance_slice()
+            host_slices += 1
+            did = True
+        return did
+
+    def harvest(self) -> bool:
+        """Apply back-end device results that are ALREADY ready (LBA chunk
+        transition or final apply).  Never runs host pipeline slices, never
+        blocks — called right before tracking a new frame so the pose/point
+        refinements that landed during the previous frame are visible."""
+        did = False
+        while self._lba is not None and self._lba_poll(block=False):
+            did = True
+        return did
+
+    def interrupt_optimization(self):
+        """Tracking-side interrupt: a keyframe is needed NOW (reference
+        ``tracking.py:906-907`` -> g2o abort flag).  The in-flight LBA stops
+        after its current chunk; a not-yet-dispatched LBA is skipped."""
+        self.opt_abort_flag = True
+
+    def _advance_slice(self):
+        kf = self._job
+        t = self.timings
+        s = self._job_stage
+        if s == 0:
+            # associate + cull + triangulate run together: tracking quality
+            # depends on the new keyframe's triangulated points being
+            # available by the NEXT frame (critical right after mono init)
+            with t.stage("process_kf"):
+                self.process_new_keyframe(kf)
+            with t.stage("cull_points"):
+                self.cull_map_points()
+            with t.stage("triangulate"):
+                self.create_new_map_points(kf)
+            self._job_stage = 2
+            return
+        elif s == 2:
+            with t.stage("fuse"):
+                self.fuse_map_points(kf)
+        elif s == 3:
+            if self.map.num_keyframes() > 2:
+                with t.stage("lba_dispatch"):
+                    self._lba_dispatch(kf)
+            self._job_stage = 4
+            return
+        elif s >= 4:
+            with t.stage("cull_kfs"):
+                self.cull_keyframes(kf)
+            # hand the keyframe onward (reference local_mapping.py:488-513)
+            if self.loop_closing is not None:
+                self.loop_closing.add_keyframe(kf)
+            if self.semantic_mapping is not None:
+                self.semantic_mapping.add_keyframe(kf)
+            if self.volumetric_integrator is not None:
+                self.volumetric_integrator.add_keyframe(kf)
+            self._job = None
+            return
+        self._job_stage = s + 1
+
+    def finish(self):
+        """Drain the back-end completely (blocking).  Used at sequence end,
+        before loop corrections/GBA, and by the synchronous test path."""
+        while self._job is not None or self.queue or self._lba is not None:
+            if self._job is None and self._lba is None:
+                self._job = self.queue.popleft()
+                self._job_stage = 0
+                self.kf_cur = self._job
+            self._drain_current_job()
+
+    def _drain_current_job(self):
+        while self._job is not None or self._lba is not None:
+            if self._lba is not None:
+                self._lba_poll(block=True)
+            else:
+                self._advance_slice()
+
+    # synchronous compatibility surface
     def step(self) -> bool:
-        """Process one queued keyframe; returns True if work was done."""
+        """Process one queued keyframe to completion; True if work done."""
+        if self._job is not None or self._lba is not None:
+            self._drain_current_job()
+            return True
         if not self.queue:
             return False
-        kf = self.queue.popleft()
-        self.do_local_mapping(kf)
+        self._job = self.queue.popleft()
+        self._job_stage = 0
+        self.kf_cur = self._job
+        self._drain_current_job()
         return True
 
     def run_all(self):
-        while self.step():
-            pass
+        self.finish()
 
     # ---------------------------------------------------------------- core
     def do_local_mapping(self, kf: KeyFrame):
+        """Synchronous single-keyframe pipeline (tests / direct callers)."""
+        assert self._job is None and self._lba is None
+        self._job = kf
+        self._job_stage = 0
         self.kf_cur = kf
-        t = self.timings
-        with t.stage("process_kf"):
-            self.process_new_keyframe(kf)
-        with t.stage("cull_points"):
-            self.cull_map_points()
-        with t.stage("triangulate"):
-            self.create_new_map_points(kf)
-        with t.stage("fuse"):
-            self.fuse_map_points(kf)
-        if self.map.num_keyframes() > 2:
-            with t.stage("lba") as lba_t:
-                self.local_bundle_adjustment(kf)
-            self.time_lba = lba_t.elapsed
-        with t.stage("cull_kfs"):
-            self.cull_keyframes(kf)
-        # hand the keyframe onward (reference local_mapping.py:488-513)
-        if self.loop_closing is not None:
-            self.loop_closing.add_keyframe(kf)
-        if self.semantic_mapping is not None:
-            self.semantic_mapping.add_keyframe(kf)
-        if self.volumetric_integrator is not None:
-            self.volumetric_integrator.add_keyframe(kf)
+        self._drain_current_job()
 
     # ------------------------------------------------- process_new_keyframe
     def process_new_keyframe(self, kf: KeyFrame):
@@ -376,21 +495,46 @@ class LocalMapping:
 
     # ------------------------------------------------------------ local BA
     def local_bundle_adjustment(self, kf: KeyFrame):
-        """Covisibility-window Schur LM (reference ``optimizer_g2o.py:614``)."""
+        """Synchronous covisibility-window Schur LM (dispatch + drain)."""
+        self._lba_dispatch(kf)
+        while self._lba is not None:
+            self._lba_poll(block=True)
+
+    def _lba_build(self, kf: KeyFrame):
+        """Assemble the padded BAProblem for kf's covisibility window.
+
+        Returns (problem, meta) or None when the window is too small
+        (reference ``optimizer_g2o.py:614`` edge assembly)."""
         window_kids = [kf.kid] + kf.ordered_covisibles(
             Parameters.kLocalBAWindowSize
         )
         window_kids = [k for k in window_kids if k in self.map.keyframes]
         local_pids = self.map.get_local_map_points(window_kids)
         if len(local_pids) < 10:
-            return
-        # fixed set: keyframes outside the window observing local points
+            return None
+        # hard cap on points: keep the best-constrained (most observations)
+        # so the TPU problem shape stays fixed (see padding note below)
+        if len(local_pids) > Parameters.kLBAMaxPoints:
+            nobs = np.asarray([
+                len(self.map.observations.get(int(p), {})) for p in local_pids
+            ])
+            local_pids = np.asarray(local_pids)[
+                np.argsort(-nobs, kind="stable")[: Parameters.kLBAMaxPoints]
+            ]
+        # fixed set: keyframes outside the window observing local points,
+        # capped at the camera budget (most-observing first — dropping a
+        # far keyframe only removes its anchoring observations)
         window = set(window_kids)
-        fixed_kids = set()
+        fixed_counts: dict[int, int] = {}
         for pid in local_pids:
             for kid in self.map.observations.get(int(pid), {}):
                 if kid not in window and kid in self.map.keyframes:
-                    fixed_kids.add(kid)
+                    fixed_counts[kid] = fixed_counts.get(kid, 0) + 1
+        max_fixed = Parameters.kLBAMaxCameras - len(window_kids)
+        fixed_kids = set(
+            sorted(fixed_counts, key=lambda k: (-fixed_counts[k], k))
+            [:max_fixed]
+        )
         all_kids = window_kids + sorted(fixed_kids)
         # always fix the first keyframe of the map (gauge)
         kid_to_row = {kid: i for i, kid in enumerate(all_kids)}
@@ -400,7 +544,11 @@ class LocalMapping:
             local_pids, kid_to_row, all_kids
         )
         if len(cam_idx) < 20:
-            return
+            return None
+        if len(cam_idx) > Parameters.kLBAMaxObservations:
+            n = Parameters.kLBAMaxObservations
+            cam_idx, pt_idx = cam_idx[:n], pt_idx[:n]
+            uvs, urs, sig2 = uvs[:n], urs[:n], sig2[:n]
 
         st = self.map.points
         poses = np.stack([self.map.keyframes[k].Tcw for k in all_kids])
@@ -414,11 +562,23 @@ class LocalMapping:
         if not fixed.any():
             fixed[0] = True
 
-        # bucket every dimension: cameras (mult of 8, padded fixed-identity),
-        # points (pow2), observations (pow2, padded invalid)
-        C = bucket_size_linear(len(all_kids), 8)
-        P = bucket_size(len(local_pids), 256)
-        O = bucket_size(len(cam_idx), 1024)
+        # Shape policy, the TPU-critical detail: on an accelerator each new
+        # (C, P, O) combination is a fresh XLA compile of the whole Schur-LM
+        # graph (minutes through a tunnel), while padded FLOPs on the MXU
+        # are nearly free — so the TPU path pads every LBA to the ONE capped
+        # steady-state shape and compiles exactly once per iters-variant.
+        # On CPU (the test suite) padded FLOPs are real costs and compiles
+        # are cheap, so fine-grained buckets stay.
+        import jax
+
+        if jax.default_backend() == "cpu":
+            C = bucket_size_linear(len(all_kids), 8)
+            P = bucket_size(len(local_pids), 256)
+            O = bucket_size(len(cam_idx), 1024)
+        else:
+            C = Parameters.kLBAMaxCameras
+            P = Parameters.kLBAMaxPoints
+            O = Parameters.kLBAMaxObservations
         poses = pad_rows(poses, C)
         poses[len(all_kids):] = np.eye(4)
         fixed = pad_rows(fixed, C, fill=True)
@@ -439,19 +599,98 @@ class LocalMapping:
             K=jnp.asarray(self.camera.K, jnp.float32),
             bf=jnp.asarray(self.camera.bf, jnp.float32),
         )
-        new_poses, new_points, cost = optim.bundle_adjust(
-            problem, iters=Parameters.kOptimizerLBAIterations
+        meta = {
+            "local_pids": local_pids,
+            "all_kids": all_kids,
+            "kid_to_row": kid_to_row,
+            "fixed": fixed,
+            "cam_idx": cam_idx,
+            "pt_idx": pt_idx,
+        }
+        return problem, meta
+
+    def _lba_dispatch(self, kf: KeyFrame):
+        """Dispatch the first LBA iteration chunk; results are polled by
+        ``_lba_poll`` — the host never waits here."""
+        # reference g2o clears mbAbortBA at BA start (optimizer_g2o.py:648):
+        # an interrupt only stops FURTHER iterations, it never skips the
+        # window's first chunk — every keyframe gets at least one LM pass
+        self.opt_abort_flag = False
+        built = self._lba_build(kf)
+        if built is None:
+            return
+        problem, meta = built
+        # two-phase shape like the reference g2o LBA (optimize(5) always,
+        # then optimize(10) unless aborted, ``optimizer_g2o.py:824``): the
+        # first chunk always runs and applies; the remainder is dispatched
+        # at first poll unless a new keyframe interrupted meanwhile.  The
+        # LM damping state (lam) is threaded through, so an un-aborted
+        # chunked run is numerically identical to one full-length run.
+        total = Parameters.kOptimizerLBAIterations
+        chunk = max(2, total // 3)
+        result = optim.bundle_adjust(
+            problem, iters=min(chunk, total), return_state=True
         )
-        new_poses = np.asarray(new_poses, np.float64)
-        new_points = np.asarray(new_points, np.float64)
+        meta.update(
+            problem=problem,
+            chunk=max(1, total - chunk),
+            iters_left=total - min(chunk, total),
+            result=result,
+        )
+        self._lba = meta
+
+    def _lba_poll(self, block: bool) -> bool:
+        """Service the in-flight LBA.  Non-blocking unless ``block``: when
+        the current chunk's device result is ready, either dispatch the next
+        chunk or (last chunk / abort requested) apply the result."""
+        lba = self._lba
+        new_poses_dev, new_points_dev, cost_dev, lam_dev = lba["result"]
+        if block:
+            import jax
+
+            jax.block_until_ready(new_poses_dev)
+        elif not new_poses_dev.is_ready():
+            return False
+        if lba["iters_left"] > 0 and not self.opt_abort_flag:
+            prob = lba["problem"]._replace(
+                poses=new_poses_dev, points=new_points_dev
+            )
+            n = min(lba["chunk"], lba["iters_left"])
+            lba["problem"] = prob
+            lba["result"] = optim.bundle_adjust(
+                prob, iters=n, lam0=lam_dev, return_state=True
+            )
+            lba["iters_left"] -= n
+            return True
+        if self.opt_abort_flag and lba["iters_left"] > 0:
+            self.lba_chunks_aborted += 1
+        self._lba_apply(lba, new_poses_dev, new_points_dev)
+        self._lba = None
+        self.opt_abort_flag = False
+        return True
+
+    def _lba_apply(self, lba: dict, new_poses_dev, new_points_dev):
+        """Write back LBA results; guards against map mutations that happened
+        while the chunks were in flight (culled keyframes, dead points)."""
+        local_pids = lba["local_pids"]
+        all_kids = lba["all_kids"]
+        kid_to_row = lba["kid_to_row"]
+        fixed = lba["fixed"]
+        cam_idx = lba["cam_idx"]
+        pt_idx = lba["pt_idx"]
+        st = self.map.points
+
+        new_poses = np.asarray(new_poses_dev, np.float64)
+        new_points = np.asarray(new_points_dev, np.float64)
         if not (np.isfinite(new_poses).all() and np.isfinite(new_points).all()):
             Printer.red("LBA diverged (non-finite result): discarding update")
             return
 
         # outlier observation pruning (post-BA chi2, reference removes edges)
         inlier_mask = np.asarray(optim.ba_outlier_mask(
-            problem._replace(poses=jnp.asarray(new_poses, jnp.float32),
-                             points=jnp.asarray(new_points, jnp.float32))
+            lba["problem"]._replace(
+                poses=jnp.asarray(new_poses, jnp.float32),
+                points=jnp.asarray(new_points, jnp.float32))
         ))[: len(cam_idx)]
         for o in np.nonzero(~inlier_mask)[0]:
             pid = int(local_pids[pt_idx[o]])
@@ -459,10 +698,11 @@ class LocalMapping:
             self.map.remove_observation(pid, kid)
 
         for kid, row in kid_to_row.items():
-            if not fixed[row]:
+            if not fixed[row] and kid in self.map.keyframes:
                 self.map.keyframes[kid].update_pose(new_poses[row])
                 self.map.keyframes[kid].lba_count += 1
-        st.pos[local_pids] = new_points[: len(local_pids)]
+        alive = st.valid[local_pids]
+        st.pos[local_pids[alive]] = new_points[: len(local_pids)][alive]
         self.map.store_version += 1
 
     # --------------------------------------------------------- cull keyframes

@@ -44,8 +44,18 @@ class Slam:
         environment_type=None,
         config=None,
         headless: bool = True,
+        depth_estimator=None,
     ):
         self.camera = camera
+        # depth-estimator upgrade (reference main_slam.py:127-130): with a
+        # depth estimator attached, a MONOCULAR stream is tracked as RGBD —
+        # per-frame estimated depth seeds stereo-style map points
+        self.depth_estimator = depth_estimator
+        if depth_estimator is not None and sensor_type == SensorType.MONOCULAR:
+            Printer.yellow(
+                "Slam: depth estimator attached — upgrading MONOCULAR to RGBD"
+            )
+            sensor_type = SensorType.RGBD
         self.sensor_type = sensor_type
         self.feature_tracker_config = (
             feature_tracker_config
@@ -71,6 +81,7 @@ class Slam:
             camera, self.feature_tracker, self.map, sensor_type, self.local_mapping
         )
         self.loop_closing = None
+        self.volumetric_integrator = None
         self.GBA = None
         if loop_detector_config is not None and Parameters.kUseLoopClosing:
             from pyslam_tpu.loop_closing.loop_closing import LoopClosing
@@ -80,10 +91,19 @@ class Slam:
                 sensor_type=sensor_type,
             )
             self.local_mapping.loop_closing = self.loop_closing
+            self.loop_closing.local_mapping = self.local_mapping
             self.tracking.relocalizer = self.loop_closing.relocalizer
 
     # ------------------------------------------------------------------ api
     def track(self, img, img_right=None, depth=None, frame_id=0, timestamp=0.0):
+        if depth is None and self.depth_estimator is not None:
+            # per-frame estimated depth (reference main_slam.py:232-245)
+            depth, _ = self.depth_estimator.infer(img, img_right=img_right)
+        # harvest back-end results that landed while the previous frame was
+        # on the host (LBA chunks finished on device): tracking this frame
+        # then sees the refined map — the same freshness the reference gets
+        # from its mapping thread applying results mid-frame
+        self.local_mapping.harvest()
         frame = self.tracking.track(
             img, img_right=img_right, depth=depth,
             frame_id=frame_id, timestamp=timestamp,
@@ -91,11 +111,37 @@ class Slam:
         if self.tracking.reset_requested:
             Printer.yellow("Slam: resetting session (early tracking loss)")
             self.reset()
-        # drain back-end work at keyframe granularity
-        self.local_mapping.run_all()
+        # a keyframe created this frame: snapshot its raw images for the
+        # dense integrator (frames don't retain full images; the integrator
+        # consumes the snapshot when local mapping hands the KF over)
+        vi = self.volumetric_integrator
+        if vi is not None:
+            kf = self.tracking.kf_ref
+            if kf is not None and kf.id == frame_id:
+                vi.offer_keyframe_data(
+                    kf, intensity=img, img_right=img_right,
+                    depth=None if depth is None
+                    else np.where(np.asarray(depth) > 0, depth, 0.0),
+                )
+        # advance the back-end by one bounded slice: host stages interleave
+        # one-per-frame, LBA chunks run on the device while tracking
+        # continues (reference overlap: local mapping thread + abort flag)
+        self.local_mapping.step_async()
         if self.loop_closing is not None:
             self.loop_closing.step()
+        if vi is not None:
+            vi.step()   # at most one snapshot integration dispatch per frame
         return frame
+
+    def finish(self):
+        """Drain all queued back-end work (call at sequence end before
+        reading the final trajectory/map)."""
+        self.local_mapping.finish()
+        if self.loop_closing is not None:
+            while self.loop_closing.step():
+                pass
+        if self.volumetric_integrator is not None:
+            self.volumetric_integrator.run_all()
 
     @property
     def state(self) -> TrackingState:
@@ -117,17 +163,35 @@ class Slam:
                 f"{k}={v['avg_ms']:.1f}ms" for k, v in sorted(st.items()))
             for mod, st in self.timings().items() if st)
 
+    def set_volumetric_integrator(self, integrator):
+        """Attach a dense integrator: receives keyframes from local mapping
+        and is saved/loaded with the system state (reference slam.py holds
+        volumetric_integrator the same way)."""
+        self.volumetric_integrator = integrator
+        self.local_mapping.volumetric_integrator = integrator
+
     def reset(self):
         self.tracking.reset_requested = False
         self.map = Map()
         self.local_mapping.map = self.map
+        self.local_mapping.queue.clear()
+        self.local_mapping._job = None
+        self.local_mapping._lba = None
+        self.local_mapping.opt_abort_flag = False
         self.tracking.map = self.map
+        self.tracking._store_cache = None
         self.tracking.state = TrackingState.NO_IMAGES_YET
         self.tracking.initializer.reset()
         self.tracking.motion_model.reset()
+        if self.loop_closing is not None:
+            self.loop_closing.reset()
+        vi = getattr(self, "volumetric_integrator", None)
+        if vi is not None:
+            vi.reset()
 
     def get_final_trajectory(self):
         """(timestamps, Twc poses) re-anchored to optimized keyframes."""
+        self.finish()   # drain queued back-end work first
         return self.tracking.history.final_trajectory(self.map)
 
     def get_keyframe_trajectory(self):
@@ -140,6 +204,7 @@ class Slam:
 
     def bundle_adjust(self, iters: int = 15):
         """Full-map global BA (reference ``slam.py bundle_adjust``)."""
+        self.finish()
         from pyslam_tpu.slam.global_bundle_adjustment import global_bundle_adjustment
 
         return global_bundle_adjustment(
@@ -147,15 +212,30 @@ class Slam:
         )
 
     # ------------------------------------------------------- state save/load
-    def save_system_state(self, path: str):
+    def save_system_state(self, path: str, schema: str = "native"):
         """Write map + configs to a folder with a single map.json (reference
-        ``slam.py:334-398`` layout: map.json + config_info.json)."""
+        ``slam.py:334-398`` layout: map.json + config_info.json).
+
+        ``schema="native"`` writes the compact b64 SoA format;
+        ``schema="reference"`` writes the reference's cross-core map.json
+        (``pyslam/slam/map.py:945``) so the reference can load our maps."""
+        self.finish()
         os.makedirs(path, exist_ok=True)
-        d = map_to_json(self.map)
-        d["camera"] = self.camera.to_json()
-        d["sensor_type"] = self.sensor_type.name
-        if self.feature_tracker_config is not None:
-            d["feature_tracker_config"] = self.feature_tracker_config.to_json()
+        if schema == "reference":
+            from pyslam_tpu.slam.map_serialization_ref import (
+                map_to_reference_json,
+            )
+
+            d = map_to_reference_json(
+                self.map, self.camera, sensor_type=self.sensor_type,
+                feature_tracker_config=self.feature_tracker_config,
+            )
+        else:
+            d = map_to_json(self.map)
+            d["camera"] = self.camera.to_json()
+            d["sensor_type"] = self.sensor_type.name
+            if self.feature_tracker_config is not None:
+                d["feature_tracker_config"] = self.feature_tracker_config.to_json()
         with open(os.path.join(path, "map.json"), "w") as f:
             json.dump(d, f)
         with open(os.path.join(path, "config_info.json"), "w") as f:
@@ -168,14 +248,49 @@ class Slam:
                 f,
                 indent=2,
             )
+        # loop-closing DB + volumetric state travel with the map (reference
+        # slam.py:334-398 saves both)
+        if self.loop_closing is not None:
+            self.loop_closing.save(path)
+        vi = getattr(self, "volumetric_integrator", None)
+        if vi is not None:
+            vi.save(os.path.join(path, "volumetric_state.npz"))
         Printer.green(f"saved system state to {path}")
 
     def load_system_state(self, path: str):
         with open(os.path.join(path, "map.json")) as f:
             d = json.load(f)
-        self.map = map_from_json(d, self.feature_tracker, self.camera)
+        if d.get("format", "").startswith("pyslam_tpu_map"):
+            self.map = map_from_json(d, self.feature_tracker, self.camera)
+        else:
+            # auto-detect the reference schema (cross-core map.json)
+            from pyslam_tpu.slam.map_serialization_ref import (
+                is_reference_schema,
+                map_from_reference_json,
+            )
+
+            if not is_reference_schema(d):
+                raise ValueError(f"unrecognized map.json schema in {path}")
+            self.map = map_from_reference_json(
+                d, self.feature_tracker, self.camera
+            )
         self.local_mapping.map = self.map
         self.tracking.map = self.map
+        self.tracking._store_cache = None
+        if self.loop_closing is not None:
+            self.loop_closing.map = self.map
+            restored = self.loop_closing.load(path)
+            if restored:
+                Printer.green("loop-closing DB restored from saved state")
+            else:
+                # older save without DB state: rebuild descriptors lazily as
+                # keyframes are revisited (detector re-describes on demand)
+                self.loop_closing.reset()
+        vi = getattr(self, "volumetric_integrator", None)
+        if vi is not None and os.path.exists(
+            os.path.join(path, "volumetric_state.npz")
+        ):
+            vi.load(os.path.join(path, "volumetric_state.npz"))
         # relocalize into the loaded map and extend it (INIT_RELOCALIZE,
         # reference slam.py:400-524)
         self.tracking.state = TrackingState.INIT_RELOCALIZE

@@ -452,11 +452,9 @@ class Tracking:
         if num_kfs < 3:
             th_ratio = 0.4
 
+        idle = self._local_mapping_idle()
         cond1a = frames_since_kf >= Parameters.kNumMaxFramesBetweenKfs
-        cond1b = (
-            frames_since_kf >= Parameters.kNumMinFramesBetweenKfs
-            and self._local_mapping_idle()
-        )
+        cond1b = frames_since_kf >= Parameters.kNumMinFramesBetweenKfs and idle
         cond1c = is_stereo and (
             self.num_inliers < ref_matches * 0.25 or need_close
         )
@@ -464,7 +462,18 @@ class Tracking:
             self.num_inliers < ref_matches * th_ratio or need_close
         ) and self.num_inliers > Parameters.kNumMinPointsForNewKf
 
-        return (cond1a or cond1b or cond1c) and cond2
+        if not ((cond1a or cond1b or cond1c) and cond2):
+            return False
+        if idle:
+            return True
+        # back-end busy: interrupt its LBA (reference tracking.py:906-907);
+        # stereo/RGBD may insert with a short queue, monocular waits for the
+        # interrupt to make the back-end idle (ORB-SLAM NeedNewKeyFrame)
+        if self.local_mapping is not None:
+            self.local_mapping.interrupt_optimization()
+            if is_stereo:
+                return self.local_mapping.queue_size() < 3
+        return False
 
     def _local_mapping_idle(self) -> bool:
         return self.local_mapping is None or self.local_mapping.is_idle()
