@@ -16,6 +16,10 @@ class KeyFrameDatabase:
         self.inverted: dict[int, list[int]] = defaultdict(list)
         self.kf_words: dict[int, np.ndarray] = {}     # kid -> unique word ids
         self.kf_gdes: dict[int, np.ndarray] = {}      # kid -> global descriptor
+        # DIRECT INDEX (reference DBoW direct index / SearchByBoW): the FULL
+        # per-keypoint word assignment, kept so guided matching can restrict
+        # candidate feature pairs to shared vocabulary subtrees
+        self.kf_kp_words: dict[int, np.ndarray] = {}
 
     def add(self, kid: int, words: np.ndarray | None, g_des: np.ndarray):
         """words=None -> score-based mode (VLAD/VPR-class detectors): only
@@ -25,6 +29,7 @@ class KeyFrameDatabase:
         if words is None:
             self.kf_words[kid] = np.empty((0,), np.int64)
             return
+        self.kf_kp_words[kid] = np.asarray(words, np.int64)
         uniq = np.unique(words[words >= 0])
         self.kf_words[kid] = uniq
         for w in uniq:
@@ -33,6 +38,7 @@ class KeyFrameDatabase:
     def remove(self, kid: int):
         uniq = self.kf_words.pop(kid, None)
         self.kf_gdes.pop(kid, None)
+        self.kf_kp_words.pop(kid, None)
         if uniq is None:
             return
         for w in uniq:

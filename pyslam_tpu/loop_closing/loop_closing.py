@@ -50,7 +50,23 @@ class LoopDetector:
 
     def __init__(self, config: LoopDetectorConfig):
         self.config = config
-        self.vocabulary = BinaryVocabulary(num_words=config.num_words)
+        if config.vocabulary_type == LoopDetectorVocabularyType.PRETRAINED:
+            from pyslam_tpu.loop_closing.vocabulary import (
+                HierarchicalVocabulary,
+            )
+
+            self.vocabulary = HierarchicalVocabulary.load(
+                config.extra["vocabulary_path"]
+            )
+        elif (config.vocabulary_type
+              == LoopDetectorVocabularyType.HIERARCHICAL_SESSION):
+            from pyslam_tpu.loop_closing.vocabulary import (
+                HierarchicalVocabulary,
+            )
+
+            self.vocabulary = HierarchicalVocabulary(branching=8, depth=4)
+        else:
+            self.vocabulary = BinaryVocabulary(num_words=config.num_words)
         self._trained = False
         self._train_buffer: list[np.ndarray] = []
         gdt = config.global_descriptor_type
@@ -186,9 +202,12 @@ class LoopClosing:
         self.tracker = feature_tracker
         self.sensor_type = sensor_type
         self.detector = LoopDetector(detector_config)
-        self.db = KeyFrameDatabase(detector_config.num_words)
+        self.db = KeyFrameDatabase(
+            getattr(self.detector.vocabulary, "num_words",
+                    detector_config.num_words))
         self.consistency = LoopGroupConsistencyChecker()
         self.relocalizer = Relocalizer(camera, self.db, self.detector)
+        self.local_mapping = None   # injected by Slam (drained on correction)
         self.queue: deque[KeyFrame] = deque()
         self.last_loop_kf_id = -1
         self.num_loops_closed = 0
@@ -205,6 +224,127 @@ class LoopClosing:
         self.min_matched_points = max(
             18, int(Parameters.kLoopClosingMinNumMatchedMapPoints * feat_scale)
         )
+
+    # --------------------------------------------------------- state machine
+    def reset(self):
+        """Clear all session loop-closing state (reference: the loop detector
+        DB is reset with the session; ``Slam.reset`` must not leak it)."""
+        self.queue.clear()
+        self.db = KeyFrameDatabase(
+            getattr(self.detector.vocabulary, "num_words",
+                    self.detector.config.num_words))
+        self.relocalizer.keyframe_db = self.db
+        self.consistency.reset()
+        self.last_loop_kf_id = -1
+        self.num_loops_closed = 0
+
+    def save(self, path: str):
+        """Persist the loop-closing DB: vocabulary + inverted index + global
+        descriptors + counters (reference saves the detector DB via task
+        messages, ``loop_detecting_process.py:170-187``; single-process here
+        so it is one npz next to map.json)."""
+        import os
+
+        db = self.db
+        kids = np.asarray(sorted(db.kf_gdes.keys()), np.int64)
+        gdes = (
+            np.stack([db.kf_gdes[int(k)] for k in kids])
+            if len(kids) else np.zeros((0, 0), np.float32)
+        )
+        words_flat = (
+            np.concatenate([db.kf_words[int(k)] for k in kids])
+            if len(kids) else np.zeros((0,), np.int64)
+        )
+        offsets = np.cumsum(
+            [0] + [len(db.kf_words[int(k)]) for k in kids]
+        ).astype(np.int64)
+        empty = np.zeros((0,), np.int64)
+        kp_lists = [db.kf_kp_words.get(int(k), empty) for k in kids]
+        kp_flat = np.concatenate(kp_lists) if len(kids) else empty
+        kp_offsets = np.cumsum([0] + [len(a) for a in kp_lists]).astype(
+            np.int64
+        )
+        state = {
+            "kids": kids,
+            "gdes": gdes,
+            "words_flat": words_flat,
+            "word_offsets": offsets,
+            "kp_words_flat": kp_flat,          # direct index (per-kp words)
+            "kp_word_offsets": kp_offsets,
+            "last_loop_kf_id": self.last_loop_kf_id,
+            "num_loops_closed": self.num_loops_closed,
+        }
+        voc = getattr(self.detector, "vocabulary", None)
+        if voc is not None and getattr(voc, "seeded", False):
+            if hasattr(voc, "level_nodes_for"):   # hierarchical tree
+                voc.save(os.path.join(path, "loop_vocabulary.npz"))
+                state["voc_checksum"] = voc.checksum()
+            else:
+                state.update(
+                    voc_words_bits=voc.words_bits,
+                    voc_doc_count=voc.doc_count,
+                    voc_word_doc_count=voc.word_doc_count,
+                )
+        np.savez_compressed(os.path.join(path, "loop_closing_state.npz"),
+                            **state)
+
+    def load(self, path: str) -> bool:
+        """Restore the saved DB (not rebuilt — word assignments stay
+        consistent with the saved vocabulary).  Returns False when no state
+        file exists."""
+        import os
+
+        fp = os.path.join(path, "loop_closing_state.npz")
+        if not os.path.exists(fp):
+            return False
+        z = np.load(fp)
+        self.reset()
+        voc = getattr(self.detector, "vocabulary", None)
+        voc_fp = os.path.join(path, "loop_vocabulary.npz")
+        if os.path.exists(voc_fp):
+            from pyslam_tpu.loop_closing.vocabulary import (
+                HierarchicalVocabulary,
+            )
+
+            loaded = HierarchicalVocabulary.load(voc_fp)
+            if "voc_checksum" in z and loaded.checksum() != str(
+                z["voc_checksum"]
+            ):
+                Printer.red(
+                    "loop DB vocabulary checksum mismatch: stored word "
+                    "assignments are inconsistent — rebuilding DB instead"
+                )
+                return False
+            self.detector.vocabulary = loaded
+            self.detector._trained = True
+        elif voc is not None and "voc_words_bits" in z:
+            voc.words_bits = z["voc_words_bits"]
+            voc._words_dev = jnp.asarray(voc.words_bits)
+            voc.seeded = True
+            voc.doc_count = int(z["voc_doc_count"])
+            voc.word_doc_count = z["voc_word_doc_count"]
+            self.detector._trained = True
+        kids = z["kids"]
+        gdes = z["gdes"]
+        offs = z["word_offsets"]
+        flat = z["words_flat"]
+        kp_offs = z["kp_word_offsets"] if "kp_word_offsets" in z else None
+        kp_flat = z["kp_words_flat"] if "kp_words_flat" in z else None
+        for i, kid in enumerate(kids):
+            # prefer the full per-kp words (direct index); older saves only
+            # carried the unique word sets
+            words = None
+            if kp_offs is not None:
+                kp = kp_flat[kp_offs[i]:kp_offs[i + 1]]
+                if len(kp):
+                    words = kp
+            if words is None:
+                w = flat[offs[i]:offs[i + 1]]
+                words = w if len(w) else None
+            self.db.add(int(kid), words, gdes[i])
+        self.last_loop_kf_id = int(z["last_loop_kf_id"])
+        self.num_loops_closed = int(z["num_loops_closed"])
+        return True
 
     # ----------------------------------------------------------------- queue
     def add_keyframe(self, kf: KeyFrame):
@@ -318,14 +458,36 @@ class LoopClosing:
         if len(pids2) < 20:
             return False, None, 0
 
-        # descriptor matching between the two point sets
+        # descriptor matching between the two point sets; with a tree
+        # vocabulary, gate pairs to shared direct-index subtrees (reference
+        # SearchByBoW quality: fewer aliased far matches feed the Sim3)
         d = hamming.descriptor_distance_matrix(
             jnp.asarray(st.desc[pids1]), jnp.asarray(st.desc[pids2])
         ).astype(jnp.float32)
-        idx, _ = m_ops.match_ratio_test(
-            d, Parameters.kMaxDescriptorDistance, ratio=0.9
-        )
-        idx = np.asarray(idx)
+        voc = self.detector.vocabulary
+        kp_words1 = self.db.kf_kp_words.get(kf.kid)
+        idx = None
+        if (hasattr(voc, "level_nodes_for") and kp_words1 is not None
+                and len(kp_words1) > slots1.max(initial=0)):
+            lvl = max(0, voc.depth - 3)
+            w2 = voc.words_for(
+                st.desc[pids2], np.ones(len(pids2), bool)
+            )
+            a = voc.level_nodes_for(kp_words1[slots1], lvl)
+            b = voc.level_nodes_for(w2, lvl)
+            mask = (a[:, None] == b[None, :]) & (a[:, None] >= 0)
+            idx_g, _ = m_ops.match_ratio_test(
+                jnp.where(jnp.asarray(mask), d, jnp.inf),
+                Parameters.kMaxDescriptorDistance, ratio=0.9,
+            )
+            idx_g = np.asarray(idx_g)
+            if (idx_g >= 0).sum() >= self.min_bow_matches:
+                idx = idx_g
+        if idx is None:
+            idx, _ = m_ops.match_ratio_test(
+                d, Parameters.kMaxDescriptorDistance, ratio=0.9
+            )
+            idx = np.asarray(idx)
         rows = np.nonzero(idx >= 0)[0]
         if len(rows) < self.min_bow_matches:
             return False, None, 0
@@ -444,6 +606,13 @@ class LoopClosing:
     # ------------------------------------------------------------ correction
     def correct_loop(self, kf: KeyFrame, cand: KeyFrame, S12: np.ndarray):
         """Propagate the Sim3 correction and optimize the essential graph."""
+        # stop/drain local mapping before mutating the whole map (reference
+        # LoopCorrector stops the local-mapping thread, loop_closing.py:519):
+        # a pending LBA applied AFTER the Sim3 propagation would re-impose
+        # pre-correction geometry
+        lm = getattr(self, "local_mapping", None)
+        if lm is not None:
+            lm.finish()
         m = self.map
         st = m.points
 
@@ -669,9 +838,3 @@ class LoopClosing:
     # ------------------------------------------------------------- interface
     def wait_if_closing(self):
         pass  # synchronous scheduler: nothing to wait for
-
-    def save(self, path: str):
-        self.detector.vocabulary.save(path)
-
-    def load(self, path: str):
-        self.detector.vocabulary = BinaryVocabulary.load(path)

@@ -30,6 +30,12 @@ class LoopDetectorVocabularyType(enum.Enum):
     PROCEDURAL_4K = "procedural_4k"
     PROCEDURAL_16K = "procedural_16k"
     SESSION_TRAINED = "session_trained"
+    # k-ary tree vocabularies (DBoW3 analog) with a direct index for guided
+    # matching; HIERARCHICAL_SESSION self-seeds from session descriptors,
+    # PRETRAINED loads a converted DBoW3 vocabulary (.npz via
+    # tools/convert_checkpoint.py, path in extra["vocabulary_path"])
+    HIERARCHICAL_SESSION = "hierarchical_session"
+    PRETRAINED = "pretrained"
 
 
 @dataclass
@@ -65,11 +71,17 @@ class LoopDetectorConfig:
 class LoopDetectorConfigs:
     """Preset registry mirroring the reference's config names."""
 
+    # DBoW presets run the hierarchical tree vocabulary (direct index +
+    # guided matching), like the reference's DBoW2/DBoW3 engines; a
+    # converted pretrained vocabulary upgrades them via
+    # extra={"vocabulary_path": ...}
     DBOW2 = LoopDetectorConfig(
-        name="DBOW2", global_descriptor_type=GlobalDescriptorType.DBOW2
+        name="DBOW2", global_descriptor_type=GlobalDescriptorType.DBOW2,
+        vocabulary_type=LoopDetectorVocabularyType.HIERARCHICAL_SESSION,
     )
     DBOW3 = LoopDetectorConfig(
-        name="DBOW3", global_descriptor_type=GlobalDescriptorType.DBOW3
+        name="DBOW3", global_descriptor_type=GlobalDescriptorType.DBOW3,
+        vocabulary_type=LoopDetectorVocabularyType.HIERARCHICAL_SESSION,
     )
     DBOW3_INDEPENDENT = LoopDetectorConfig(
         name="DBOW3_INDEPENDENT",

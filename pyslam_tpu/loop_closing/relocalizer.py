@@ -24,15 +24,38 @@ class Relocalizer:
         self.keyframe_db = keyframe_db
         self.detector = detector
         self._key = jax.random.PRNGKey(7)
+        self._frame_words = None   # words of the frame being relocalized
 
     def _candidates(self, frame, slam_map) -> list[int]:
+        self._frame_words = None
         if self.detector is not None and self.keyframe_db is not None:
             words, g_des = self.detector.describe_frame(frame)
+            self._frame_words = words
             cands = self.keyframe_db.detect_relocalization_candidates(words, g_des)
             if cands:
                 return cands
         # fallback: most recent keyframes
         return list(slam_map.keyframe_order[-5:])
+
+    def _guided_mask(self, kid: int, kf_slots: np.ndarray):
+        """DIRECT-INDEX guided matching (reference DBoW direct index +
+        ``SearchByBoW``, relocalizer.py:167-211): restrict candidate feature
+        pairs to those whose words share a vocabulary subtree at the direct-
+        index level.  Returns a (P, N) bool mask or None when the vocabulary
+        has no tree structure / no stored keypoint words."""
+        voc = getattr(self.detector, "vocabulary", None)
+        db = self.keyframe_db
+        fw = self._frame_words
+        if (voc is None or not hasattr(voc, "level_nodes_for")
+                or db is None or fw is None):
+            return None
+        kp_words = db.kf_kp_words.get(kid)
+        if kp_words is None or len(kp_words) <= kf_slots.max(initial=0):
+            return None
+        lvl = max(0, voc.depth - 3)
+        a = voc.level_nodes_for(kp_words[kf_slots], lvl)
+        b = voc.level_nodes_for(np.asarray(fw), lvl)
+        return (a[:, None] == b[None, :]) & (a[:, None] >= 0)
 
     def relocalize(self, frame, slam_map):
         """Returns (Tcw, ok)."""
@@ -55,11 +78,22 @@ class Relocalizer:
             d = hamming.descriptor_distance_matrix(
                 jnp.asarray(st.desc[pids]), jnp.asarray(frame.des)
             ).astype(jnp.float32)
-            idx, _ = m_ops.match_ratio_test(
-                d, Parameters.kMaxDescriptorDistance, ratio=0.75,
-                valid_b=jnp.asarray(frame.valid),
-            )
-            idx = np.asarray(idx)
+            mask = self._guided_mask(kid, kf_slots)
+            if mask is not None:
+                d_guided = jnp.where(jnp.asarray(mask), d, jnp.inf)
+                idx, _ = m_ops.match_ratio_test(
+                    d_guided, Parameters.kMaxDescriptorDistance, ratio=0.75,
+                    valid_b=jnp.asarray(frame.valid),
+                )
+                idx = np.asarray(idx)
+                if (idx >= 0).sum() < Parameters.kRelocalizationMinPnPInliers:
+                    mask = None   # too sparse under guidance: fall back
+            if mask is None:
+                idx, _ = m_ops.match_ratio_test(
+                    d, Parameters.kMaxDescriptorDistance, ratio=0.75,
+                    valid_b=jnp.asarray(frame.valid),
+                )
+                idx = np.asarray(idx)
             rows = np.nonzero(idx >= 0)[0]
             if len(rows) < Parameters.kRelocalizationMinPnPInliers:
                 continue

@@ -178,3 +178,318 @@ class BinaryVocabulary:
         v.doc_count = int(z["doc_count"])
         v.word_doc_count = z["word_doc_count"]
         return v
+
+
+# --------------------------------------------------------------- hierarchical
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "k"))
+def quantize_tree(
+    desc: jnp.ndarray,       # (N, D) bit-plane int8 / float32
+    valid: jnp.ndarray,      # (N,)
+    centroids: jnp.ndarray,  # (num_nodes, D) same dtype family as desc
+    children: jnp.ndarray,   # (num_nodes, k) int32, -1 padded
+    node_word: jnp.ndarray,  # (num_nodes,) int32, word id at leaves else -1
+    depth: int,
+    k: int,
+):
+    """Vectorized k-ary tree descent (the DBoW3 per-descriptor tree walk as
+    ``depth`` batched gather+argmin rounds — each round is one (N,k,D)
+    distance over the CURRENT node's k children, all descriptors in
+    lock-step).  Descriptors parked at a leaf early simply stay there."""
+    n = desc.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    descf = desc.astype(jnp.float32)
+    for _ in range(depth):
+        ch = children[node]                                   # (N, k)
+        cent = centroids[jnp.clip(ch, 0, None)]               # (N, k, D)
+        d = jnp.abs(descf[:, None, :] - cent.astype(jnp.float32)).sum(-1)
+        d = jnp.where(ch >= 0, d, jnp.inf)
+        best = jnp.argmin(d, axis=1).astype(jnp.int32)
+        nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+        node = jnp.where(ch[:, 0] >= 0, nxt, node)            # leaf: stay
+    words = node_word[node]
+    return jnp.where(valid & (words >= 0), words, -1)
+
+
+class HierarchicalVocabulary:
+    """k-branching, depth-L binary vocabulary — the DBoW2/DBoW3 analog
+    (reference ``thirdparty/pydbow3/modules/dbow3/src/Vocabulary.cpp``,
+    ``pyslam/loop_closing/loop_detector_vocabulary.py``).
+
+    Same public surface as :class:`BinaryVocabulary` (words_for /
+    global_descriptor / add_document / save / load) plus the DIRECT INDEX:
+    ``level_nodes_for(words, level)`` maps leaf words to their ancestor node
+    at an intermediate level, which guided matching uses to restrict
+    candidate feature pairs to shared subtrees (reference
+    ``TemplatedVocabulary.h`` getParentNode + SearchByBoW).
+
+    Sources: session-trained hierarchical k-means (``seed_from_descriptors``)
+    or a converted pretrained DBoW3 text vocabulary (``from_dbow3_text`` /
+    ``tools/convert_checkpoint.py``).
+    """
+
+    def __init__(self, branching: int = 8, depth: int = 4, seed: int = 77):
+        self.k = branching
+        self.depth = depth
+        self.num_words = branching ** depth
+        self._rng = np.random.default_rng(seed)
+        self.seeded = False
+        self.centroids = None     # (num_nodes, D)
+        self.children = None      # (num_nodes, k) int32
+        self.node_word = None     # (num_nodes,) int32
+        self.word_level_node = None  # (num_words, depth) word -> ancestor node
+        self.word_weights = None  # idf weights from a pretrained vocabulary
+        self.doc_count = 0
+        self.word_doc_count = np.zeros(self.num_words, np.int64)
+        self._dev = None
+
+    # ----------------------------------------------------------- structure
+    def _finalize(self):
+        """Precompute word->ancestor-node tables and device arrays."""
+        parent = np.full(len(self.children), -1, np.int64)
+        for nid, ch in enumerate(self.children):
+            for c in ch:
+                if c >= 0:
+                    parent[c] = nid
+        # ancestor chain per leaf word: level l in [0, depth) = node after
+        # l+1 descents from the root (level depth-1 == the leaf itself for
+        # complete trees; shallower leaves repeat)
+        wl = np.zeros((self.num_words, self.depth), np.int32)
+        leaf_of_word = np.full(self.num_words, -1, np.int64)
+        for nid, w in enumerate(self.node_word):
+            if w >= 0:
+                leaf_of_word[w] = nid
+        for w, leaf in enumerate(leaf_of_word):
+            if leaf < 0:
+                continue
+            chain = []
+            n = leaf
+            while n > 0:
+                chain.append(n)
+                n = parent[n]
+            chain = chain[::-1]  # root-child ... leaf
+            for l in range(self.depth):
+                wl[w, l] = chain[min(l, len(chain) - 1)]
+        self.word_level_node = wl
+        self._dev = (
+            jnp.asarray(self.centroids),
+            jnp.asarray(self.children),
+            jnp.asarray(self.node_word),
+        )
+        self.seeded = True
+
+    # ------------------------------------------------------------ training
+    def seed_from_descriptors(self, desc: np.ndarray, iters: int = 3):
+        """Level-wise hierarchical k-means over real session descriptors
+        (binary: majority-vote centroids; float: means)."""
+        desc = np.asarray(desc)
+        if len(desc) == 0:
+            return
+        is_float = np.issubdtype(desc.dtype, np.floating)
+        dtype = np.float32 if is_float else np.int8
+        D = desc.shape[1]
+        k = self.k
+
+        def kmeans(sample, k_eff):
+            if len(sample) <= k_eff:
+                cents = sample.copy()
+                # pad with jittered copies
+                while len(cents) < k_eff:
+                    j = sample[self._rng.integers(0, len(sample))].copy()
+                    if is_float:
+                        j = j + self._rng.normal(0, 1e-3, j.shape)
+                    else:
+                        flip = self._rng.integers(0, D, 8)
+                        j[flip] ^= 1
+                    cents = np.concatenate([cents, j[None]], axis=0)
+                return cents.astype(dtype)
+            cents = sample[
+                self._rng.choice(len(sample), k_eff, replace=False)
+            ].astype(np.float32)
+            for _ in range(iters):
+                d = np.abs(
+                    sample.astype(np.float32)[:, None, :] - cents[None]
+                ).sum(-1)
+                a = d.argmin(1)
+                for j in range(k_eff):
+                    sel = sample[a == j]
+                    if len(sel):
+                        m = sel.astype(np.float32).mean(0)
+                        cents[j] = m if is_float else (m > 0.5)
+            return cents.astype(dtype)
+
+        # build the complete tree breadth-first: node 0 = root
+        centroids = [np.zeros((D,), dtype)]
+        children: list[list[int]] = [[]]
+        node_word: list[int] = [-1]
+        assign = {0: desc}
+        word_count = 0
+        frontier = [0]
+        for level in range(self.depth):
+            nxt = []
+            for nid in frontier:
+                sample = assign.pop(nid, None)
+                if sample is None or len(sample) == 0:
+                    sample = desc[self._rng.integers(0, len(desc), 4)]
+                cents = kmeans(sample, k)
+                d = np.abs(
+                    sample.astype(np.float32)[:, None, :]
+                    - cents.astype(np.float32)[None]
+                ).sum(-1)
+                a = d.argmin(1)
+                for j in range(k):
+                    cid = len(centroids)
+                    centroids.append(cents[j])
+                    children.append([])
+                    if level == self.depth - 1:
+                        node_word.append(word_count)
+                        word_count += 1
+                    else:
+                        node_word.append(-1)
+                        assign[cid] = sample[a == j]
+                    children[nid].append(cid)
+                    nxt.append(cid)
+            frontier = nxt
+        self.num_words = word_count
+        self.word_doc_count = np.zeros(self.num_words, np.int64)
+        self.centroids = np.stack(centroids).astype(dtype)
+        self.children = np.array(
+            [ch + [-1] * (k - len(ch)) for ch in children], np.int32
+        )
+        self.node_word = np.asarray(node_word, np.int32)
+        self._finalize()
+
+    # ---------------------------------------------- pretrained import
+    @staticmethod
+    def from_dbow3_text(path: str) -> "HierarchicalVocabulary":
+        """Parse the DBoW3 text vocabulary format (``Vocabulary.cpp
+        load_fromtxt``): header ``k L scoring weighting``, then one node per
+        line ``parent_id is_leaf byte_0..byte_{B-1} weight`` in creation
+        order (node ids implicit, root=0 pre-exists, leaf word ids in order
+        of appearance).  Bytes unpack to the bit-plane layout used by the
+        MXU Hamming matcher."""
+        with open(path) as f:
+            header = f.readline().split()
+            k, L = int(header[0]), int(header[1])
+            v = HierarchicalVocabulary(branching=k, depth=L)
+            centroids = [None]
+            children: list[list[int]] = [[]]
+            node_word = [-1]
+            weights = []
+            for line in f:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                pid, is_leaf = int(parts[0]), int(float(parts[1]))
+                byts = np.asarray([float(x) for x in parts[2:-1]], np.uint8)
+                w = float(parts[-1])
+                nid = len(centroids)
+                centroids.append(np.unpackbits(byts).astype(np.int8))
+                children.append([])
+                children[pid].append(nid)
+                if is_leaf:
+                    node_word.append(len(weights))
+                    weights.append(w)
+                else:
+                    node_word.append(-1)
+        D = len(centroids[1])
+        centroids[0] = np.zeros((D,), np.int8)
+        v.num_words = len(weights)
+        v.word_doc_count = np.zeros(v.num_words, np.int64)
+        v.word_weights = np.asarray(weights, np.float32)
+        v.centroids = np.stack(centroids)
+        v.children = np.array(
+            [ch + [-1] * (max(k, max((len(c) for c in children), default=1))
+                          - len(ch))
+             for ch in children], np.int32
+        )
+        v.node_word = np.asarray(node_word, np.int32)
+        v._finalize()
+        return v
+
+    # ----------------------------------------------------------- inference
+    def words_for(self, desc, valid) -> np.ndarray:
+        if not self.seeded:
+            self.seed_from_descriptors(np.asarray(desc)[np.asarray(valid)])
+        c, ch, nw = self._dev
+        return np.asarray(
+            quantize_tree(
+                jnp.asarray(desc), jnp.asarray(valid), c, ch, nw,
+                self.depth, int(self.children.shape[1]),
+            )
+        )
+
+    def level_nodes_for(self, words: np.ndarray, level: int) -> np.ndarray:
+        """DIRECT INDEX: ancestor node ids at ``level`` (0 = coarsest) for
+        leaf word ids; -1 stays -1."""
+        out = np.full(len(words), -1, np.int64)
+        ok = words >= 0
+        out[ok] = self.word_level_node[words[ok], level]
+        return out
+
+    def checksum(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(self.centroids).tobytes())
+        h.update(np.ascontiguousarray(self.children).tobytes())
+        return h.hexdigest()[:16]
+
+    def idf_weights(self) -> np.ndarray:
+        if self.word_weights is not None:
+            return self.word_weights
+        if self.doc_count == 0:
+            return np.ones(self.num_words, np.float32)
+        return np.log(
+            (1.0 + self.doc_count) / (1.0 + self.word_doc_count)
+        ).astype(np.float32) + 1e-3
+
+    def add_document(self, words: np.ndarray):
+        self.doc_count += 1
+        uniq = np.unique(words[words >= 0])
+        self.word_doc_count[uniq] += 1
+
+    def global_descriptor(self, words: np.ndarray) -> np.ndarray:
+        """tf histogram; pretrained vocabularies use their stored idf
+        weights (fixed -> stored/query descriptors stay comparable), session
+        vocabularies uniform (see BinaryVocabulary.global_descriptor)."""
+        w = (
+            self.word_weights
+            if self.word_weights is not None
+            else np.ones(self.num_words, np.float32)
+        )
+        return np.asarray(
+            bow_histogram(jnp.asarray(words), jnp.asarray(w), self.num_words)
+        )
+
+    # ------------------------------------------------------- serialization
+    def save(self, path: str):
+        np.savez_compressed(
+            path,
+            hier_k=self.k, hier_depth=self.depth,
+            centroids=self.centroids, children=self.children,
+            node_word=self.node_word,
+            word_weights=(
+                self.word_weights if self.word_weights is not None
+                else np.zeros(0, np.float32)
+            ),
+            doc_count=self.doc_count, word_doc_count=self.word_doc_count,
+        )
+
+    @staticmethod
+    def load(path: str) -> "HierarchicalVocabulary":
+        z = np.load(path)
+        v = HierarchicalVocabulary(
+            branching=int(z["hier_k"]), depth=int(z["hier_depth"])
+        )
+        v.centroids = z["centroids"]
+        v.children = z["children"]
+        v.node_word = z["node_word"]
+        v.num_words = int((v.node_word >= 0).sum())
+        ww = z["word_weights"]
+        v.word_weights = ww if len(ww) else None
+        v.doc_count = int(z["doc_count"])
+        v.word_doc_count = z["word_doc_count"]
+        v._finalize()
+        return v

@@ -48,6 +48,7 @@ _REGISTRY: dict[str, str] = {
     "dust3r": "DUSt3R 224-linear .pth",
     "mast3r": "MASt3R (DUSt3R trunk + catmlp heads)",
     "deeplabv3": "torchvision deeplabv3_resnet50",
+    "dbow3_vocab": "DBoW3 text vocabulary (ORBvoc.txt) -> tree .npz",
 }
 
 
@@ -170,6 +171,14 @@ def _build(name: str):
 
 
 def convert(model: str, input_path: str, output_path: str):
+    if model == "dbow3_vocab":
+        # pretrained hierarchical vocabulary (pySLAM thirdparty/pydbow3
+        # Vocabulary.cpp load_fromtxt format) -> HierarchicalVocabulary npz
+        from pyslam_tpu.loop_closing.vocabulary import HierarchicalVocabulary
+
+        v = HierarchicalVocabulary.from_dbow3_text(input_path)
+        v.save(output_path)
+        return output_path
     import torch
 
     from pyslam_tpu.models.torch_convert import save_variables_npz

@@ -1,0 +1,175 @@
+"""Hierarchical (k-ary tree) vocabulary + direct index (reference DBoW3:
+``thirdparty/pydbow3/modules/dbow3/src/Vocabulary.cpp``,
+``pyslam/loop_closing/loop_detector_vocabulary.py``)."""
+
+import numpy as np
+import pytest
+
+from pyslam_tpu.loop_closing.vocabulary import (
+    BinaryVocabulary,
+    HierarchicalVocabulary,
+)
+
+
+def _place_descriptors(rng, n_places=16, n_desc=200, dim=256):
+    """Distinct descriptor clusters per 'place'; revisits = bit-noised."""
+    places = [
+        rng.integers(0, 2, (n_desc, dim)).astype(np.int8)
+        for _ in range(n_places)
+    ]
+    revisits = []
+    for p in places:
+        noise = rng.random(p.shape) < 0.05   # 5% bit flips
+        revisits.append((p ^ noise).astype(np.int8))
+    return places, revisits
+
+
+def test_tree_quantization_basic():
+    rng = np.random.default_rng(0)
+    desc = rng.integers(0, 2, (500, 256)).astype(np.int8)
+    v = HierarchicalVocabulary(branching=4, depth=3, seed=1)
+    valid = np.ones(len(desc), bool)
+    w1 = v.words_for(desc, valid)
+    assert v.seeded
+    assert w1.min() >= 0 and w1.max() < v.num_words
+    # deterministic
+    np.testing.assert_array_equal(v.words_for(desc, valid), w1)
+    # invalid rows -> -1
+    valid2 = valid.copy()
+    valid2[:10] = False
+    w2 = v.words_for(desc, valid2)
+    assert (w2[:10] == -1).all()
+    np.testing.assert_array_equal(w2[10:], w1[10:])
+    # small perturbations keep most word assignments (tree stability)
+    noise = rng.random(desc.shape) < 0.02
+    w3 = v.words_for((desc ^ noise).astype(np.int8), valid)
+    assert (w3 == w1).mean() > 0.5
+
+
+def test_level_nodes_direct_index():
+    rng = np.random.default_rng(1)
+    desc = rng.integers(0, 2, (300, 256)).astype(np.int8)
+    v = HierarchicalVocabulary(branching=4, depth=3, seed=2)
+    w = v.words_for(desc, np.ones(len(desc), bool))
+    for lvl in range(v.depth):
+        nodes = v.level_nodes_for(w, lvl)
+        assert (nodes >= 0).all()
+    # coarser levels are coarser partitions: same level-0 node whenever the
+    # level-1 nodes agree
+    n0 = v.level_nodes_for(w, 0)
+    n1 = v.level_nodes_for(w, 1)
+    for a in np.unique(n1):
+        assert len(np.unique(n0[n1 == a])) == 1
+    # leaf level is the word itself (bijection)
+    nl = v.level_nodes_for(w, v.depth - 1)
+    assert len(np.unique(nl)) == len(np.unique(w))
+
+
+def test_retrieval_beats_flat_vocab():
+    """Top-1 place retrieval on a synthetic revisit grid: the tree vocabulary
+    must be at least as accurate as the flat 4k codebook (VERDICT item 7)."""
+    rng = np.random.default_rng(3)
+    places, revisits = _place_descriptors(rng)
+    train = np.concatenate(places[:8])
+
+    def top1_accuracy(voc):
+        voc.seed_from_descriptors(train)
+        valid = np.ones(len(places[0]), bool)
+        gdes = [
+            voc.global_descriptor(voc.words_for(p, valid)) for p in places
+        ]
+        correct = 0
+        for i, r in enumerate(revisits):
+            q = voc.global_descriptor(voc.words_for(r, valid))
+            sims = [float(q @ g) for g in gdes]
+            correct += int(np.argmax(sims) == i)
+        return correct / len(revisits)
+
+    acc_tree = top1_accuracy(HierarchicalVocabulary(branching=8, depth=4))
+    acc_flat = top1_accuracy(BinaryVocabulary(num_words=4096))
+    assert acc_tree >= 0.9, acc_tree
+    assert acc_tree >= acc_flat - 0.05, (acc_tree, acc_flat)
+
+
+def test_dbow3_text_import(tmp_path):
+    """Parse the DBoW3 text format: header 'k L scoring weighting', nodes as
+    'parent is_leaf byte... weight' in creation order."""
+    rng = np.random.default_rng(4)
+    k, L, B = 2, 2, 32
+    lines = ["2 2 0 0"]
+    # level 1: two children of root (ids 1, 2); level 2: leaves 3,4 / 5,6.
+    # Hierarchy-consistent centroids: leaves are small perturbations of
+    # their parent so the tree descent reaches the right subtree (a real
+    # k-means tree has this property by construction).
+    zero, ones = np.zeros(B, np.uint8), np.full(B, 255, np.uint8)
+
+    def jitter(base, nbytes):
+        c = base.copy()
+        idx = rng.choice(B, nbytes, replace=False)
+        c[idx] ^= np.uint8(0x0F)
+        return c
+
+    cents = np.stack([
+        zero, ones,                      # level-1 nodes
+        jitter(zero, 2), jitter(zero, 4),  # leaves under node 1
+        jitter(ones, 2), jitter(ones, 4),  # leaves under node 2
+    ])
+    lines.append(f"0 0 {' '.join(map(str, cents[0]))} 0.0")
+    lines.append(f"0 0 {' '.join(map(str, cents[1]))} 0.0")
+    for parent, row in ((1, 2), (1, 3), (2, 4), (2, 5)):
+        lines.append(f"{parent} 1 {' '.join(map(str, cents[row]))} 0.5")
+    fp = tmp_path / "voc.txt"
+    fp.write_text("\n".join(lines) + "\n")
+
+    v = HierarchicalVocabulary.from_dbow3_text(str(fp))
+    assert v.k == 2 and v.depth == 2 and v.num_words == 4
+    assert v.word_weights is not None and np.allclose(v.word_weights, 0.5)
+    # each leaf centroid quantizes to its own word
+    leaf_desc = np.stack(
+        [np.unpackbits(cents[r]).astype(np.int8) for r in (2, 3, 4, 5)]
+    )
+    w = v.words_for(leaf_desc, np.ones(4, bool))
+    assert sorted(w.tolist()) == [0, 1, 2, 3]
+    # direct index level 0 groups leaves by their level-1 parent
+    n0 = v.level_nodes_for(w, 0)
+    assert n0[0] == n0[1] and n0[2] == n0[3] and n0[0] != n0[2]
+
+
+def test_save_load_checksum(tmp_path):
+    rng = np.random.default_rng(5)
+    desc = rng.integers(0, 2, (600, 256)).astype(np.int8)
+    v = HierarchicalVocabulary(branching=4, depth=3, seed=6)
+    w = v.words_for(desc, np.ones(len(desc), bool))
+    fp = str(tmp_path / "voc.npz")
+    v.save(fp)
+    v2 = HierarchicalVocabulary.load(fp)
+    assert v2.checksum() == v.checksum()
+    np.testing.assert_array_equal(
+        v2.words_for(desc, np.ones(len(desc), bool)), w
+    )
+    np.testing.assert_array_equal(v2.word_level_node, v.word_level_node)
+
+
+def test_guided_mask_in_relocalizer():
+    """The direct-index mask only admits pairs sharing a subtree node."""
+    from pyslam_tpu.loop_closing.keyframe_database import KeyFrameDatabase
+    from pyslam_tpu.loop_closing.relocalizer import Relocalizer
+
+    rng = np.random.default_rng(7)
+    desc = rng.integers(0, 2, (100, 256)).astype(np.int8)
+    voc = HierarchicalVocabulary(branching=4, depth=3, seed=8)
+    words = voc.words_for(desc, np.ones(len(desc), bool))
+
+    db = KeyFrameDatabase(voc.num_words)
+    db.add(5, words, np.zeros(voc.num_words, np.float32))
+    det = type("D", (), {"vocabulary": voc})()
+    r = Relocalizer(camera=None, keyframe_db=db, detector=det)
+    r._frame_words = words
+    slots = np.arange(100)
+    mask = r._guided_mask(5, slots)
+    assert mask is not None and mask.shape == (100, 100)
+    lvl = max(0, voc.depth - 3)
+    nodes = voc.level_nodes_for(words, lvl)
+    expect = (nodes[:, None] == nodes[None, :]) & (nodes[:, None] >= 0)
+    np.testing.assert_array_equal(mask, expect)
+    assert mask.diagonal().all()
