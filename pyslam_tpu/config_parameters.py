@@ -29,9 +29,15 @@ class Parameters:
     kMaxDescriptorDistance = 100            # ORB Hamming acceptance (ref feature_types.py:164)
     kMatchRatioTest = 0.75                  # Lowe ratio for generic matching
     kMatchRatioTestMap = 0.8                # ratio used when matching against map
+    kFeatureMatchDefaultRatioTest = 0.7     # default matcher ratio (ref :97)
+    kMatchRatioTestFrameByProjection = 0.9  # ref :174
+    kMatchRatioTestEpipolarLine = 0.8       # ref :176
     kCheckOrientation = True                # rotation-histogram consistency filter
+    kCheckFeaturesOrientation = True        # reference alias (ref :102)
     kNumRotHistogramBins = 30               # bins in rotation histogram
     kRotHistogramKeepTopN = 3               # keep matches in top-N bins
+    kMinDistanceFromEpipole = 10            # px, search-by-epipolar gate (ref :184)
+    kKdtNmsRadius = 3                       # px NMS radius (grid NMS analog, ref :100)
 
     # ------------------------------------------------------------- tracking
     kUseMotionModel = True
@@ -40,6 +46,7 @@ class Parameters:
     kMaxReprojectionDistanceFrameWide = 14  # widened radius on failure
     kMaxReprojectionDistanceMap = 3         # px radius, search map by projection
     kMaxReprojectionDistanceMapRelocalize = 5
+    kMaxReprojectionDistanceMapReloc = 5    # reference alias (ref :170)
     kMinTrackedFeaturesForPoseOpt = 10
     kNumMinInliersPoseOptimizationTrackFrame = 10
     kNumMinInliersTrackLocalMap = 30
@@ -47,24 +54,64 @@ class Parameters:
     kUseSearchFrameByProjection = True
     kMaxNumOfKeyframesInLocalMap = 80
     kNumMinObsForKeyFrameDefault = 3
+    kMaxReprojectionDistanceFrameNonStereo = 15  # px (ref :167)
+    kMaxReprojectionDistanceMapRgbd = 3     # px (ref :169)
+    kMinNumMatchedFeaturesSearchReferenceFrame = 15  # ref :126
+    kNumBestCovisibilityKeyFrames = 10      # ref :128
+    kMaxOutliersRatioInPoseOptimization = 0.9  # ref :135
+    kUseEssentialMatrixFitting = False      # ref :124
+    kUseVisualOdometryPoints = True         # temporary VO points (ref :129)
+    kMaxNumVisualOdometryPoints = 100       # ref :130
+    kMaxNumStereoPointsOnNewKeyframe = 100  # ref :131
+    kUseInterruptLocalMapping = True        # tracking may abort an in-flight LBA
+    kUseDepthEstimatorInFrontEnd = False    # MONOCULAR->RGBD upgrade (ref :415)
+    kDepthEstimatorRemoveShadowPointsInFrontEnd = True  # ref :420
+
+    # ---------------------------------------------------------- initializer
+    kCosMaxParallaxInitializer = 0.99998    # ref :83
+    kInitializerDesiredMedianDepth = 1.0    # scale normalization (ref :107)
+    kInitializerMinRatioDepthBaseline = 100  # ref :108
+    kInitializerNumMinFeatures = 100        # ref :109
+    kInitializerNumMinFeaturesStereo = 500  # ref :110
+    kInitializerNumMinTriangulatedPoints = 150   # ref :111
+    kInitializerNumMinTriangulatedPointsStereo = 100  # ref :112
+    kInitializerFeatureMatchRatioTest = 0.9  # ref :113
+    kInitializerNumMinNumPointsForPnPWithDepth = 15  # ref :114
+    kInitializerUseCellCoverageCheck = True  # ref :115
+    kInitializerUseMinFrameDistanceCheck = True  # ref :116
 
     # ---------------------------------------------------------- keyframes
     kNumMinPointsForNewKf = 15              # min tracked points to allow a new KF
     kThNewKfRefRatio = 0.9                  # cond: tracked/ref-tracked ratio (mono)
+    kThNewKfRefRatioMonocular = 0.9         # reference alias (ref :145)
     kThNewKfRefRatioStereo = 0.75           # stereo variant
+    kThNewKfRefRatioNonMonocular = 0.25     # cond2b non-mono (ref :149)
     kNumMaxFramesBetweenKfs = 30            # cond1a: max frames since last KF (~fps)
     kNumMinFramesBetweenKfs = 0             # min frames between KFs
     kThNewKfMinCloseFeaturesRatio = 0.25    # stereo/RGBD close-point condition
     kNumMinClosePointsForNewKf = 100
+    kNumMinTrackedClosePointsForNewKfNonMonocular = 100  # ref :143
+    kNumMaxNonTrackedClosePointsForNewKfNonMonocular = 70  # ref :144
+    kUseFeatureCoverageControlForNewKf = False  # ref :150
+    kUseFovCentersBasedKfGeneration = False  # ref :151
+    kMaxFovCentersDistanceForKfGeneration = 0.2  # [m] ref :152
 
     # ------------------------------------------------------- local mapping
     kLocalBAWindowSize = 20                 # covisibility window for LBA (ref :221)
     kKeyframeCullingRedundantObsRatio = 0.9 # cull KF if 90% points redundantly seen
     kKeyframeCullingMinNumPoints = 3
+    kKeyframeMaxTimeDistanceInSecForCulling = 0.5  # [s] ref :156
     kMapPointCullingMinFoundRatio = 0.25    # found/visible acceptance for new points
     kNumMinObsForCulling = 3
-    kUseLargeWindowBA = False
+    kUseLargeWindowBA = False               # periodic large-window BA (ref :222)
+    kEveryNumFramesLargeWindowBA = 10       # keyframes between large BAs (ref :225)
     kLargeBAWindowSize = 20
+    kLocalMappingNumNeighborKeyFramesStereo = 10    # triangulation neighbors (ref :191)
+    kLocalMappingNumNeighborKeyFramesMonocular = 20  # ref :194
+    kMinNumOfCovisiblePointsForCreatingConnection = 15  # ref :200
+    kMaxReprojectionDistanceFuse = 3        # px (ref :171)
+    kMaxDistanceToleranceFactor = 1.2       # scale-invariance distance gates (ref :92)
+    kMinDistanceToleranceFactor = 0.8       # ref :93
 
     # ------------------------------------------------------------ optimizer
     kOptimizerPoseItsRounds = 4             # motion-only: 4 rounds
@@ -94,17 +141,33 @@ class Parameters:
     kRetainImageForVPR = False              # keep half-res frame copies for learned VPR (NetVLAD-class)
     kSim3SolverRansacIterations = 300
     kSim3SolverMinInliers = 20
+    kMaxReprojectionDistanceSim3 = 7.5      # px (ref :172)
     kUseEssentialGraphPGO = True
+    kUseGBA = True                          # GBA after loop closure (ref :232)
     kGBAUseRobustKernel = True
+    kMinDeltaFrameForMeaningfulLoopClosure = 10  # ref :244
+    kMaxResultsForLoopClosure = 5           # ref :245
+    kLoopClosingFeatureMatchRatioTest = 0.9  # ref :259
+    kLoopClosingMaxReprojectionDistanceMapSearch = 10  # px (ref :256)
+    kLoopClosingMaxReprojectionDistanceFuse = 4  # px (ref :258)
+    kLoopClosingGeometryCheckerMinKpsMatches = 20  # ref :254
 
     # -------------------------------------------------------- relocalization
     kRelocalizationMinPnPInliers = 15
     kRelocalizationFinalMinNumInliers = 50  # accept relocalization with >=50 inliers
     kRelocalizationPnPRansacIterations = 256
     kMaxLostFramesBeforeReset = 5           # auto-reset if LOST early (ref tracking.py:1424)
+    kRelocalizationMinKpsMatches = 15       # ref :267
+    kRelocalizationFeatureMatchRatioTest = 0.75  # ref :270
+    kRelocalizationFeatureMatchRatioTestLarge = 0.9  # ref :273
+    kRelocalizationPoseOpt1MinMatches = 10  # ref :274
+    kRelocalizationDoPoseOpt2NumInliers = 50  # ref :275
+    kRelocalizationMaxReprojectionDistanceMapSearchCoarse = 10  # px (ref :276)
+    kRelocalizationMaxReprojectionDistanceMapSearchFine = 3  # px (ref :277)
 
     # -------------------------------------------------------------- stereo
     kStereoMatchingRowTolerance = 2.0       # rows tolerance for rectified match
+    kStereoMatchingMaxRowDistance = 1.1     # reference alias [px] (ref :160)
     kStereoMatchingMaxDescriptorDistance = 100
     kMinDepth = 0.1
 
@@ -127,11 +190,42 @@ class Parameters:
     # native SGM stereo matcher; monocular runs use a learned estimator)
     kVolumetricIntegrationDepthEstimatorType = "sgbm"
     kVolumetricIntegrationTableCapacity = 1 << 20  # voxel-hash table slots
+    kDoVolumetricIntegration = False        # reference master switch (ref :300)
+    kVolumetricIntegrationType = "TSDF"     # ref :308 (VOXEL_GRID there)
+    kVolumetricIntegrationVoxelLength = 0.015   # [m] ref :311
+    kVolumetricIntegrationBlockSize = 8     # voxels/block (ref :313)
+    kVolumetricIntegrationVoxelGridMinCount = 1   # ref :327
+    kVolumetricIntegrationVoxelGridMinConfidence = 0.3  # ref :330
+    kVolumetricIntegrationVoxelGridUseCarving = False  # ref :334
+    kVolumetricIntegrationVoxelGridCarvingDepthMin = 0.0  # ref :335
+    kVolumetricIntegrationVoxelGridCarvingDepthMaxIndoor = 8.0   # ref :338
+    kVolumetricIntegrationVoxelGridCarvingDepthMaxOutdoor = 15.0  # ref :339
+    kVolumetricIntegrationVoxelGridCarvingDepthThreshold = 3e-2  # [m] ref :340
+    kVolumetricIntegrationVoxelGridShadowPointsFilter = True  # ref :342
+    kVolumetricIntegrationTsdfExtractMesh = False  # ref :346
+    kVolumetricIntegrationTSdfTrunc = 0.04  # [m] ref :349
+    kVolumetricIntegrationTsdfDepthTruncIndoor = 4.0   # [m] ref :350
+    kVolumetricIntegrationTsdfDepthTruncOutdoor = 10.0  # [m] ref :351
+    kVolumetricIntegrationOutputTimeInterval = 1.0  # [s] ref :354
+    kVolumetricIntegrationDepthEstimationFilterShadowPoints = True  # ref :362
 
     # ------------------------------------------------------------ semantics
     kSemanticMappingOnSeparateThread = False
     kSemanticMappingNumClasses = 21
     kDoSparseSemanticMapping = True
+    kDoSparseSemanticMappingAndSegmentation = False  # reference alias (ref :385)
+    kSemanticSegmentationType = ""          # model override (ref :394)
+    kUseSemanticsInOptimization = False     # semantic BA weighting (ref :402)
+    kSemanticSegmentationEnforceUniqueInstanceIds = False  # ref :405
+    kSemanticSegmentationUniqueInstanceMinPixels = 50  # ref :408
+    kVolumetricSemanticProbabilisticIntegrationUseDepth = True  # ref :367
+    kVolumetricSemanticProbabilisticIntegrationDepthThresholdIndoor = 5.0   # ref :370
+    kVolumetricSemanticProbabilisticIntegrationDepthThresholdOutdoor = 10.0  # ref :371
+    kVolumetricSemanticProbabilisticIntegrationDepthDecayRateIndoor = 0.1   # ref :372
+    kVolumetricSemanticProbabilisticIntegrationDepthDecayRateOutdoor = 0.05  # ref :375
+    kVolumetricSemanticIntegrationUseInstanceIds = False  # ref :376
+    kVolumetricSemanticIntegrationMinVoteRatio = 0.5  # ref :379
+    kVolumetricSemanticIntegrationMinVotes = 3  # ref :380
 
     # --------------------------------------------------------------- system
     kLocalMappingOnSeparateThread = False   # TPU build: host scheduler interleave
@@ -148,6 +242,68 @@ class Parameters:
     kMapPointCapacityInitial = 1 << 15      # initial SoA map-point capacity
     kKeyFrameCapacityInitial = 256          # initial keyframe capacity
     kObsPadPerFrame = 4096                  # padded observations per BA frame
+
+    # ------------------------------------------- reference-compat (no-op)
+    # Accepted so reference YAML GLOBAL_PARAMETERS blocks load unchanged;
+    # these gate thread/process plumbing, debug-file sinks, or the g2o/GTSAM
+    # engine split that the single-process TPU runtime replaces (async device
+    # dispatch instead of threads; one Schur-LM core instead of two engines).
+    kWaitForLocalMappingTimeout = 0.5
+    kParallelLBAWaitIdleTimeout = 1.0
+    kUseParallelProcessLBA = False
+    kLocalMappingParallelKpsMatching = True
+    kLocalMappingParallelKpsMatchingNumWorkers = 2
+    kLocalMappingParallelFusePointsNumWorkers = 2
+    kLocalMappingDebugAndPrintToFile = False
+    kLocalMappingTimeoutPopKeyframe = 0.5
+    kLoopClosingParallelKpsMatching = True
+    kLoopClosingParallelKpsMatchingNumWorkers = 2
+    kLoopClosingDebugAndPrintToFile = False
+    kLoopClosingDebugWithLoopDetectionImages = False
+    kLoopClosingDebugWithSimmetryMatrix = False
+    kLoopClosingDebugWithLoopConsistencyCheckImages = False
+    kLoopClosingDebugShowLoopMatchedPoints = False
+    kLoopDetectingTimeoutPopKeyframe = 0.5
+    kRelocalizationParallelKpsMatching = True
+    kRelocalizationParallelKpsMatchingNumWorkers = 2
+    kRelocalizationDebugAndPrintToFile = False
+    kGBADebugAndPrintToFile = False
+    kSemanticMappingMoveSemanticSegmentationToSeparateProcess = False
+    kSemanticMappingDebugAndPrintToFile = False
+    kSemanticMappingTimeoutPopKeyframe = 0.5
+    kVolumetricIntegrationDebugAndPrintToFile = False
+    kVolumetricIntegrationUseVoxelBlocks = True
+    kVolumetricIntegrationTBBThreads = 4
+    kVolumetricIntegrationFpsThrottleEnabled = False
+    kVolumetricIntegrationFpsThrottleMinQueueSize = 5
+    kVolumetricIntegrationFpsMaxThreshold = 10.0
+    kVolumetricIntegrationFpsThrottleBaseDelay = 0.01
+    kVolumetricIntegrationFpsThrottleScale = 0.1
+    kOptimizationAllUseGtsam = False
+    kOptimizationFrontEndUseGtsam = False
+    kOptimizationBundleAdjustUseGtsam = False
+    kOptimizationLoopClosingUseGtsam = False
+    kMultiprocessingProcessJoinDefaultTimeout = 5.0
+    kMultithreadingThreadJoinDefaultTimeout = 5.0
+    kViewerDrawSlamMapOnSeparateThread = False
+    kUseDescriptorSigmaMadv2 = False
+    kUseMotionBlurDection = False
+    kMotionBlurDetectionLalacianVarianceThreshold = 100.0
+    kMotionBlurDetectionMaxNumMatchedKpsToEnablRansacHomography = 30
+    kDepthImageUndistortionUseOptimalNewCameraMatrixWithAlphaScale = True
+    kDepthImageUndistortionOptimalNewCameraMatrixWithAlphaScaleValue = 0.0
+    kDenseMappingDtypeVertices = "float32"
+    kDenseMappingDtypeColors = "float32"
+    kDenseMappingDtypeDepth = "float32"
+    kDenseMappingDtypeSemantics = "int32"
+    kDenseMappingDtypeObjectIds = "int32"
+    kDenseMappingDtypeTriangles = "uint32"
+    kLogsFolder = "logs"
+    kStereoMatchingShowMatchedPoints = False
+    kMaxFeatureTrailLength = 16
+    kSparseImageColorPatchDelta = 1
+    kMinWeightForDrawingCovisibilityEdge = 100
+    kMaxSparseMapPointsToVisualize = 1e6
 
     @classmethod
     def set_from_dict(cls, d: dict) -> None:

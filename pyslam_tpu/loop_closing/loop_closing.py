@@ -478,14 +478,16 @@ class LoopClosing:
             mask = (a[:, None] == b[None, :]) & (a[:, None] >= 0)
             idx_g, _ = m_ops.match_ratio_test(
                 jnp.where(jnp.asarray(mask), d, jnp.inf),
-                Parameters.kMaxDescriptorDistance, ratio=0.9,
+                Parameters.kMaxDescriptorDistance,
+                ratio=Parameters.kLoopClosingFeatureMatchRatioTest,
             )
             idx_g = np.asarray(idx_g)
             if (idx_g >= 0).sum() >= self.min_bow_matches:
                 idx = idx_g
         if idx is None:
             idx, _ = m_ops.match_ratio_test(
-                d, Parameters.kMaxDescriptorDistance, ratio=0.9
+                d, Parameters.kMaxDescriptorDistance,
+                ratio=Parameters.kLoopClosingFeatureMatchRatioTest
             )
             idx = np.asarray(idx)
         rows = np.nonzero(idx >= 0)[0]

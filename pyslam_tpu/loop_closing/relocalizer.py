@@ -82,7 +82,7 @@ class Relocalizer:
             if mask is not None:
                 d_guided = jnp.where(jnp.asarray(mask), d, jnp.inf)
                 idx, _ = m_ops.match_ratio_test(
-                    d_guided, Parameters.kMaxDescriptorDistance, ratio=0.75,
+                    d_guided, Parameters.kMaxDescriptorDistance, ratio=Parameters.kRelocalizationFeatureMatchRatioTest,
                     valid_b=jnp.asarray(frame.valid),
                 )
                 idx = np.asarray(idx)
@@ -90,7 +90,7 @@ class Relocalizer:
                     mask = None   # too sparse under guidance: fall back
             if mask is None:
                 idx, _ = m_ops.match_ratio_test(
-                    d, Parameters.kMaxDescriptorDistance, ratio=0.75,
+                    d, Parameters.kMaxDescriptorDistance, ratio=Parameters.kRelocalizationFeatureMatchRatioTest,
                     valid_b=jnp.asarray(frame.valid),
                 )
                 idx = np.asarray(idx)

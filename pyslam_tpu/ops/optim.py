@@ -338,20 +338,36 @@ def bundle_adjust(
 
         Y = jnp.einsum("oij,ojk->oik", Hcp, Hpp_inv[prob.pt_idx])  # (O,6,3)
 
-        # scatter per-obs blocks into (P, C, 6, 3) for the exact cross term
-        A = jnp.zeros((P, C, 6, 3), r.dtype).at[prob.pt_idx, prob.cam_idx].add(Y)
-        B = jnp.zeros((P, C, 6, 3), r.dtype).at[prob.pt_idx, prob.cam_idx].add(Hcp)
-        S_cross = jnp.einsum("pcij,pdkj->cidk", A, B)  # (C,6,C,6)
+        # Exact Schur cross term, built compile-friendly for XLA:TPU:
+        # multi-index scatters into a 4-D (P, C, 6, 3) operand and the
+        # "pcij,pdkj->cidk" einsum lower pathologically slowly on the TPU
+        # backend (minutes-per-shape compiles), so per-obs blocks scatter
+        # through ONE flat index (pt*C + cam) and the contraction is a plain
+        # (C6, P3) x (P3, C6) matmul — MXU food either way, identical math.
+        lin = prob.pt_idx * C + prob.cam_idx
+        A = jnp.zeros((P * C, 18), r.dtype).at[lin].add(Y.reshape(-1, 18))
+        B = jnp.zeros((P * C, 18), r.dtype).at[lin].add(Hcp.reshape(-1, 18))
+        # (P, C, 6, 3) -> [(p,j), (c,i)] so S_cross[(ci),(dk)] = A2^T B2
+        A2 = (
+            A.reshape(P, C, 6, 3).transpose(0, 3, 1, 2).reshape(P * 3, C * 6)
+        )
+        B2 = (
+            B.reshape(P, C, 6, 3).transpose(0, 3, 1, 2).reshape(P * 3, C * 6)
+        )
+        S_cross = A2.T @ B2                                  # (C6, C6)
 
         lamD_c = lam * jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-6)
         Hcc_d = Hcc + jax.vmap(jnp.diag)(lamD_c)
-        S = jnp.zeros((C, 6, C, 6), r.dtype)
-        idx = jnp.arange(C)
-        S = S.at[idx, :, idx, :].add(Hcc_d)
+        # block-diagonal embed via einsum with the identity (no 2-index
+        # scatter): S[(c i),(d j)] = delta_cd * Hcc_d[c,i,j] - S_cross
+        eye_c = jnp.eye(C, dtype=r.dtype)
+        S = jnp.einsum("cd,cij->cidj", eye_c, Hcc_d).reshape(C * 6, C * 6)
         S = S - S_cross
-        S = S.reshape(C * 6, C * 6)
 
-        b_schur = bc - jnp.einsum("pcij,pj->ci", A, bp)
+        b_schur = (
+            bc.reshape(-1)
+            - (A2.T @ bp.reshape(-1))
+        ).reshape(C, 6)
         # fixed cameras: identity rows (their dx forced to 0)
         fixed6 = jnp.repeat(problem.fixed, 6)
         S = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, S)
@@ -642,11 +658,18 @@ def pose_graph_optimize(
         Jiw = Ji * w[:, None, None]
         Jjw = Jj * w[:, None, None]
 
-        H = jnp.zeros((V, 7, V, 7), S.dtype)
-        H = H.at[edges_i, :, edges_i, :].add(jnp.einsum("eij,eik->ejk", Jiw, Ji))
-        H = H.at[edges_j, :, edges_j, :].add(jnp.einsum("eij,eik->ejk", Jjw, Jj))
-        H = H.at[edges_i, :, edges_j, :].add(jnp.einsum("eij,eik->ejk", Jiw, Jj))
-        H = H.at[edges_j, :, edges_i, :].add(jnp.einsum("eij,eik->ejk", Jjw, Ji))
+        # flat single-index scatters (multi-index scatters into a 4-D
+        # operand lower pathologically slowly on XLA:TPU — see bundle_adjust)
+        Hf49 = jnp.zeros((V * V, 49), S.dtype)
+        Hf49 = Hf49.at[edges_i * V + edges_i].add(
+            jnp.einsum("eij,eik->ejk", Jiw, Ji).reshape(-1, 49))
+        Hf49 = Hf49.at[edges_j * V + edges_j].add(
+            jnp.einsum("eij,eik->ejk", Jjw, Jj).reshape(-1, 49))
+        Hf49 = Hf49.at[edges_i * V + edges_j].add(
+            jnp.einsum("eij,eik->ejk", Jiw, Jj).reshape(-1, 49))
+        Hf49 = Hf49.at[edges_j * V + edges_i].add(
+            jnp.einsum("eij,eik->ejk", Jjw, Ji).reshape(-1, 49))
+        H = Hf49.reshape(V, V, 7, 7).transpose(0, 2, 1, 3)
         g = jnp.zeros((V, 7), S.dtype)
         g = g.at[edges_i].add(jnp.einsum("eij,ei->ej", Jiw, r))
         g = g.at[edges_j].add(jnp.einsum("eij,ei->ej", Jjw, r))

@@ -31,16 +31,33 @@ class SemanticMappingType(enum.Enum):
     DENSE = "dense"
 
 
+def semantic_information_weights(dataset: str, num_classes: int) -> np.ndarray:
+    """Per-class information weights for semantic BA weighting (reference
+    ``semantic_information_weights_factory.py``): 1.0 everywhere except
+    classes whose features are geometrically unstable — the reference
+    down-weights Cityscapes 'vegetation' (class 8) to 0.001; unknown labels
+    (-1 / out of range) map to 1.0 via the trailing slot."""
+    w = np.ones(num_classes + 1, np.float32)
+    d = dataset.lower()
+    if d == "cityscapes" and num_classes > 8:
+        w[8] = 0.001   # vegetation (ref :80)
+    return w
+
+
 class SemanticMappingConfig:
     def __init__(
         self,
         segmentation_type="intensity_bands",
         num_classes: int = 8,
         feature_type: SemanticFeatureType = SemanticFeatureType.PROBABILITY_VECTOR,
+        dataset: str = "custom",
     ):
         self.segmentation_type = segmentation_type
         self.num_classes = num_classes
         self.feature_type = feature_type
+        # label-set name ("cityscapes"/"voc"/"ade20k"/"nyu40"/"custom"):
+        # selects the per-class BA information weights
+        self.dataset = dataset
 
 
 class SemanticMappingDense:
@@ -149,6 +166,22 @@ class SemanticMappingDense:
     def point_label(self, pid: int) -> int:
         acc = self.point_scores.get(int(pid))
         return int(np.argmax(acc)) if acc is not None else -1
+
+    def get_semantic_weight(self, labels) -> np.ndarray:
+        """Per-observation information weight from keypoint class labels
+        (reference ``semantic_mapping_dense.py:285`` get_semantic_weight,
+        consumed by BA edge information scaling, ``optimizer_g2o.py:728``).
+        Accepts scalar or array labels; -1 / out-of-range -> 1.0."""
+        if not hasattr(self, "_sem_weights"):
+            self._sem_weights = semantic_information_weights(
+                getattr(self.config, "dataset", "custom"), self.num_classes
+            )
+        labels = np.asarray(labels, np.int64)
+        safe = np.where(
+            (labels >= 0) & (labels < self.num_classes),
+            labels, self.num_classes,
+        )
+        return self._sem_weights[safe]
 
     def point_confidence(self, pid: int) -> float:
         acc = self.point_scores.get(int(pid))

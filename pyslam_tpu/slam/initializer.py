@@ -35,11 +35,23 @@ class InitializerOutput:
 class Initializer:
     def __init__(self, sensor_type: SensorType, num_features: int = 2000):
         self.sensor_type = sensor_type
-        # acceptance thresholds scale with the feature budget (the reference's
-        # absolute numbers assume 2000 features)
-        self.min_features = max(50, num_features // 12)
+        # acceptance thresholds: the reference's absolute numbers
+        # (kInitializerNumMinFeatures=100 etc., config_parameters.py:109-112)
+        # assume a 2000-feature budget — scale them with the configured one
+        s = num_features / 2000.0
+        is_mono = sensor_type == SensorType.MONOCULAR
+        self.min_features = max(
+            20,
+            int((Parameters.kInitializerNumMinFeatures if is_mono
+                 else Parameters.kInitializerNumMinFeaturesStereo // 4) * s),
+        )
         self.min_inliers = max(30, num_features // 20)      # essential inliers
-        self.min_triangulated = max(20, num_features // 30)  # accepted points
+        self.min_triangulated = max(
+            20,
+            int((Parameters.kInitializerNumMinTriangulatedPoints if is_mono
+                 else Parameters.kInitializerNumMinTriangulatedPointsStereo)
+                * s) // 2,
+        )
         self.ref_frame: Frame | None = None
         self.num_failures = 0
         self._key = jax.random.PRNGKey(42)
@@ -73,7 +85,8 @@ class Initializer:
             jnp.asarray(ref.des), jnp.asarray(f.des)
         ).astype(jnp.float32)
         idx2, _ = m_ops.match_ratio_test(
-            d, Parameters.kMaxDescriptorDistance, ratio=0.8,
+            d, Parameters.kMaxDescriptorDistance,
+            ratio=Parameters.kInitializerFeatureMatchRatioTest,
             valid_a=jnp.asarray(ref.valid), valid_b=jnp.asarray(f.valid),
         )
         idx2 = np.asarray(idx2)

@@ -263,7 +263,11 @@ class LocalMapping:
     def create_new_map_points(self, kf: KeyFrame):
         """Epipolar search + triangulation with covisible neighbors
         (reference ``local_mapping.py:560``)."""
-        n_neighbors = 10 if self.sensor_type == SensorType.MONOCULAR else 5
+        n_neighbors = (
+            Parameters.kLocalMappingNumNeighborKeyFramesMonocular
+            if self.sensor_type == SensorType.MONOCULAR
+            else Parameters.kLocalMappingNumNeighborKeyFramesStereo
+        )
         neighbor_kids = kf.ordered_covisibles(n_neighbors)
         cam = self.camera
         K = jnp.asarray(cam.K, jnp.float32)
@@ -487,6 +491,28 @@ class LocalMapping:
         uv = kps_stack[cam, kp_arr]
         ur = ur_stack[cam, kp_arr]
         sig2 = self.tracker.sigma2[lvl_stack[cam, kp_arr]]
+        # semantic weighting (reference optimizer_g2o.py:728-729): scale each
+        # observation's information by its keypoint's class stability weight
+        # (information *= w  <=>  sigma2 /= w); keyframes without per-kp
+        # labels contribute unweighted
+        if (
+            Parameters.kUseSemanticsInOptimization
+            and self.semantic_mapping is not None
+        ):
+            kf0 = m.keyframes[all_kids[0]]
+            if getattr(kf0, "kps_sem", None) is not None:
+                sem_stack = np.stack([
+                    (
+                        k_f.kps_sem
+                        if getattr(k_f, "kps_sem", None) is not None
+                        else np.full(len(kf0.kps_sem), -1, np.int64)
+                    )
+                    for k_f in (m.keyframes[k] for k in all_kids)
+                ])
+                w = self.semantic_mapping.get_semantic_weight(
+                    sem_stack[cam, kp_arr]
+                )
+                sig2 = sig2 / np.maximum(np.asarray(w, np.float64), 1e-6)
         return (
             cam.astype(np.int32), pt_rows.astype(np.int32),
             uv.astype(np.float32), ur.astype(np.float32),

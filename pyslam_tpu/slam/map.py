@@ -326,7 +326,7 @@ class Map:
         """Rebuild kf's covisibility edges from shared map points (reference
         ``keyframe.py update_connections``; weight >= 15 shared points)."""
         if min_weight is None:
-            min_weight = 15
+            min_weight = Parameters.kMinNumOfCovisiblePointsForCreatingConnection
         pids = kf.points[kf.points >= 0]
         if self._native is not None:
             counter = self._native.covisibility_counts(

@@ -442,8 +442,12 @@ class Tracking:
             n_tracked_close = int((close & tracked).sum())
             n_nontracked_close = int((close & ~tracked).sum())
         need_close = is_stereo and (
-            n_tracked_close < Parameters.kNumMinClosePointsForNewKf * feat_scale
-            and n_nontracked_close > 70 * feat_scale
+            n_tracked_close
+            < Parameters.kNumMinTrackedClosePointsForNewKfNonMonocular
+            * feat_scale
+            and n_nontracked_close
+            > Parameters.kNumMaxNonTrackedClosePointsForNewKfNonMonocular
+            * feat_scale
         )
 
         th_ratio = (
@@ -456,7 +460,9 @@ class Tracking:
         cond1a = frames_since_kf >= Parameters.kNumMaxFramesBetweenKfs
         cond1b = frames_since_kf >= Parameters.kNumMinFramesBetweenKfs and idle
         cond1c = is_stereo and (
-            self.num_inliers < ref_matches * 0.25 or need_close
+            self.num_inliers
+            < ref_matches * Parameters.kThNewKfRefRatioNonMonocular
+            or need_close
         )
         cond2 = (
             self.num_inliers < ref_matches * th_ratio or need_close

@@ -118,3 +118,74 @@ def test_semantic_eval_metrics():
     gt2[0, 0] = -1
     res2 = evaluate_labels(pred, gt2, 3, ignore_label=-1)
     assert res2.num_evaluated == 7
+
+
+def test_semantic_ba_weighting(rng):
+    """kUseSemanticsInOptimization (reference optimizer_g2o.py:728-729):
+    observations whose keypoint label carries a low information weight get
+    an inflated sigma2 in the LBA edge assembly."""
+    from pyslam_tpu.config_parameters import Parameters
+    from pyslam_tpu.features.tracker import FeatureTrackerConfig
+    from pyslam_tpu.io.dataset import SyntheticDataset
+    from pyslam_tpu.io.dataset_types import SensorType
+    from pyslam_tpu.semantics.semantic_mapping import (
+        SemanticMappingConfig,
+        SemanticMappingDense,
+        semantic_information_weights,
+    )
+    from pyslam_tpu.slam.camera import PinholeCamera
+    from pyslam_tpu.slam.slam import Slam
+
+    w = semantic_information_weights("cityscapes", 19)
+    assert w[8] == np.float32(0.001) and w[0] == 1.0  # vegetation down-weighted
+
+    ds = SyntheticDataset(
+        num_frames=10, sensor_type=SensorType.STEREO, trajectory="line",
+        step=0.4,
+    )
+    cam = PinholeCamera(
+        ds.w, ds.h, ds.fx, ds.fy, ds.cx, ds.cy,
+        fps=ds.fps, bf=ds.fx * ds.baseline, depth_threshold=20.0,
+    )
+    slam = Slam(
+        cam, FeatureTrackerConfig(num_features=400, num_levels=4),
+        sensor_type=SensorType.STEREO,
+    )
+    sem = SemanticMappingDense(
+        slam.map,
+        SemanticMappingConfig(num_classes=19, dataset="cityscapes"),
+    )
+    slam.local_mapping.semantic_mapping = sem
+    for i in range(len(ds)):
+        slam.track(
+            ds.getImage(i), img_right=ds.getImageRight(i),
+            frame_id=i, timestamp=ds.getTimestamp(i),
+        )
+    slam.finish()
+    lm = slam.local_mapping
+    kf = slam.map.last_keyframe()
+
+    # label half of every keyframe's keypoints as vegetation (class 8)
+    for k in slam.map.keyframes.values():
+        labels = np.zeros(len(k.kps), np.int64)
+        labels[::2] = 8
+        k.kps_sem = labels
+
+    old_flag = Parameters.kUseSemanticsInOptimization
+    try:
+        Parameters.kUseSemanticsInOptimization = False
+        built = lm._lba_build(kf)
+        assert built is not None
+        base_sig2 = np.asarray(built[0].sigma2)
+        Parameters.kUseSemanticsInOptimization = True
+        built_w = lm._lba_build(kf)
+        sem_sig2 = np.asarray(built_w[0].sigma2)
+    finally:
+        Parameters.kUseSemanticsInOptimization = old_flag
+
+    n = len(built[1]["cam_idx"])
+    ratio = sem_sig2[:n] / base_sig2[:n]
+    # even-slot keypoints (vegetation) inflate by 1/0.001; odd slots unchanged
+    assert np.isclose(ratio.max(), 1000.0, rtol=1e-3)
+    assert (np.isclose(ratio, 1.0) | np.isclose(ratio, 1000.0, rtol=1e-3)).all()
+    assert np.isclose(ratio, 1000.0, rtol=1e-3).any()
