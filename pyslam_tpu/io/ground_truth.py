@@ -120,17 +120,114 @@ def read_euroc_csv(path: str) -> GroundTruth:
     return GroundTruth(ts, T)
 
 
+def read_icl_nuim_trajectory(path: str) -> GroundTruth:
+    """ICL-NUIM groundtruth: TUM-format rows with the y axis inverted
+    (reference ``ground_truth.py:782`` IclNuimGroundTruth)."""
+    gt = read_tum_trajectory(path)
+    T = gt.Twc.copy()
+    T[:, 1, 3] *= -1.0
+    flip = np.diag([1.0, -1.0, 1.0])
+    for i in range(len(T)):
+        T[i, :3, :3] = flip @ T[i, :3, :3] @ flip
+    return GroundTruth(gt.timestamps, T)
+
+
+def read_replica_trajectory(path: str, fps: float = 30.0) -> GroundTruth:
+    """Replica ``traj.txt``: one row-major flattened 4x4 Twc per line,
+    timestamps at a fixed camera rate (reference ReplicaGroundTruth)."""
+    T = np.loadtxt(path).reshape(-1, 4, 4)
+    ts = np.arange(len(T)) / fps
+    return GroundTruth(ts, T)
+
+
+def read_tartanair_trajectory(path: str, fps: float = 10.0) -> GroundTruth:
+    """TartanAir ``pose_left.txt``: rows ``x y z qx qy qz qw`` (NED frame)
+    at a fixed rate (reference TartanairGroundTruth)."""
+    rows = np.loadtxt(path).reshape(-1, 7)
+    T = np.tile(np.eye(4), (len(rows), 1, 1))
+    T[:, :3, 3] = rows[:, 0:3]
+    for i in range(len(rows)):
+        T[i, :3, :3] = _quat_to_R(rows[i, 3:7])
+    return GroundTruth(np.arange(len(rows)) / fps, T)
+
+
+def read_scannet_poses(pose_dir: str, fps: float = 30.0) -> GroundTruth:
+    """ScanNet ``pose/<n>.txt``: one 4x4 Twc per frame file, ordered by the
+    integer frame id in the filename (reference ScannetGroundTruth)."""
+    import glob
+
+    files = glob.glob(os.path.join(pose_dir, "*.txt"))
+    files.sort(key=lambda p: int(os.path.splitext(os.path.basename(p))[0]))
+    T = np.stack([np.loadtxt(f).reshape(4, 4) for f in files])
+    ok = np.isfinite(T).all(axis=(1, 2))   # ScanNet has -inf dropout poses
+    return GroundTruth(np.arange(len(T))[ok] / fps, T[ok])
+
+
+def read_seven_scenes_poses(seq_dir: str, fps: float = 30.0) -> GroundTruth:
+    """7-Scenes ``frame-XXXXXX.pose.txt``: one 4x4 Twc per frame in a
+    ``seq-XX`` folder (reference SevenScenesGroundTruth)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(seq_dir, "frame-*.pose.txt")))
+    if not files:
+        seqs = sorted(glob.glob(os.path.join(seq_dir, "seq-*")))
+        if seqs:
+            files = sorted(
+                glob.glob(os.path.join(seqs[0], "frame-*.pose.txt"))
+            )
+    T = np.stack([np.loadtxt(f).reshape(4, 4) for f in files])
+    return GroundTruth(np.arange(len(T)) / fps, T)
+
+
+def read_neural_rgbd_poses(path: str, fps: float = 30.0) -> GroundTruth:
+    """Neural-RGBD ``poses.txt`` / ``trainval_poses.txt``: N stacked 4x4
+    matrices (4N lines of 4 floats); non-finite poses are dropped
+    (reference NeuralRGBDGroundTruth)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                vals = [float(x) for x in line.split()]
+            except ValueError:
+                vals = [np.nan] * 4
+            rows.append((vals + [0.0] * 4)[:4])
+    T = np.asarray(rows, np.float64).reshape(-1, 4, 4)
+    ok = np.isfinite(T).all(axis=(1, 2))
+    return GroundTruth(np.arange(len(T))[ok] / fps, T[ok])
+
+
 def groundtruth_factory(settings: dict) -> GroundTruth | None:
-    """Dispatch on ``type`` like the reference's groundtruth_factory."""
+    """Dispatch on ``type`` like the reference's groundtruth_factory
+    (reference ``ground_truth.py:75``; full reader coverage: KITTI / TUM /
+    EuRoC / ICL-NUIM / Replica / TartanAir / ScanNet / 7-Scenes /
+    Neural-RGBD / simple / synthetic)."""
     gt_type = settings.get("type", None)
     if gt_type in (None, "none"):
         return None
+    fps_kw = (
+        {"fps": settings["fps"]} if "fps" in settings else {}
+    )
     if gt_type == "kitti":
         return read_kitti_poses(settings["path"], settings.get("times_path"))
-    if gt_type == "tum":
+    if gt_type in ("tum", "simple"):
         return read_tum_trajectory(settings["path"])
     if gt_type == "euroc":
         return read_euroc_csv(settings["path"])
+    if gt_type == "icl_nuim":
+        return read_icl_nuim_trajectory(settings["path"])
+    if gt_type == "replica":
+        return read_replica_trajectory(settings["path"], **fps_kw)
+    if gt_type == "tartanair":
+        return read_tartanair_trajectory(settings["path"], **fps_kw)
+    if gt_type == "scannet":
+        return read_scannet_poses(settings["path"], **fps_kw)
+    if gt_type == "seven_scenes":
+        return read_seven_scenes_poses(settings["path"], **fps_kw)
+    if gt_type == "neural_rgbd":
+        return read_neural_rgbd_poses(settings["path"], **fps_kw)
     if gt_type == "synthetic":
         ds = settings["dataset"]
         return GroundTruth(

@@ -124,3 +124,105 @@ def test_eval_rpe_zero():
         poses[i, :3, 3] = [i * 0.1, 0, 0]
     tr, ro = eval_rpe(poses, poses)
     assert tr < 1e-12 and ro < 1e-6
+
+
+def _random_twc(rng, n):
+    from pyslam_tpu.io.ground_truth import _quat_to_R
+
+    T = np.tile(np.eye(4), (n, 1, 1))
+    for i in range(n):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        T[i, :3, :3] = _quat_to_R(q)
+        T[i, :3, 3] = rng.normal(size=3) * 5
+    return T
+
+
+def test_gt_reader_family_roundtrip(tmp_path, rng):
+    """Replica / TartanAir / ScanNet / 7-Scenes / Neural-RGBD / ICL-NUIM
+    readers (reference ground_truth.py readers) against on-disk fixtures."""
+    from pyslam_tpu.io.ground_truth import groundtruth_factory
+
+    n = 6
+    T = _random_twc(rng, n)
+
+    # Replica: flattened 4x4 per line
+    rp = tmp_path / "traj.txt"
+    np.savetxt(rp, T.reshape(n, 16))
+    gt = groundtruth_factory({"type": "replica", "path": str(rp), "fps": 30.0})
+    assert np.allclose(gt.Twc, T, atol=1e-6)
+    assert np.isclose(gt.timestamps[1] - gt.timestamps[0], 1 / 30.0)
+
+    # TartanAir: x y z qx qy qz qw rows
+    from pyslam_tpu.io.ground_truth import _R_to_quat
+
+    ta = tmp_path / "pose_left.txt"
+    rows = np.concatenate(
+        [T[:, :3, 3], np.stack([_R_to_quat(T[i, :3, :3]) for i in range(n)])],
+        axis=1,
+    )
+    np.savetxt(ta, rows)
+    gt = groundtruth_factory({"type": "tartanair", "path": str(ta)})
+    assert np.allclose(np.abs(gt.Twc[:, :3, 3]), np.abs(T[:, :3, 3]), atol=1e-6)
+    for i in range(n):
+        assert np.allclose(gt.Twc[i, :3, :3], T[i, :3, :3], atol=1e-5)
+
+    # ScanNet: pose/<n>.txt with one -inf dropout pose
+    sd = tmp_path / "pose"
+    sd.mkdir()
+    for i in range(n):
+        np.savetxt(sd / f"{i}.txt", T[i])
+    np.savetxt(sd / f"{n}.txt", np.full((4, 4), -np.inf))
+    gt = groundtruth_factory({"type": "scannet", "path": str(sd)})
+    assert len(gt) == n and np.allclose(gt.Twc, T, atol=1e-6)
+
+    # 7-Scenes: seq-01/frame-XXXXXX.pose.txt
+    sq = tmp_path / "seq-01"
+    sq.mkdir()
+    for i in range(n):
+        np.savetxt(sq / f"frame-{i:06d}.pose.txt", T[i])
+    gt = groundtruth_factory({"type": "seven_scenes", "path": str(tmp_path)})
+    assert np.allclose(gt.Twc, T, atol=1e-6)
+
+    # Neural-RGBD: stacked 4x4 blocks, one NaN block dropped
+    nr = tmp_path / "poses.txt"
+    blocks = np.concatenate([T.reshape(-1, 4), np.full((4, 4), np.nan)])
+    np.savetxt(nr, blocks)
+    gt = groundtruth_factory({"type": "neural_rgbd", "path": str(nr)})
+    assert len(gt) == n and np.allclose(gt.Twc, T, atol=1e-6)
+
+    # ICL-NUIM: TUM rows with y inverted on read
+    ic = tmp_path / "gt.freiburg"
+    with open(ic, "w") as f:
+        for i in range(n):
+            q = _R_to_quat(T[i, :3, :3])
+            x, y, z = T[i, :3, 3]
+            f.write(f"{i * 0.1} {x} {y} {z} {q[0]} {q[1]} {q[2]} {q[3]}\n")
+    gt = groundtruth_factory({"type": "icl_nuim", "path": str(ic)})
+    assert np.allclose(gt.Twc[:, 1, 3], -T[:, 1, 3], atol=1e-6)
+    assert np.allclose(gt.Twc[:, 0, 3], T[:, 0, 3], atol=1e-6)
+
+
+def test_evaluation_grid_configs_parse():
+    """The shipped KITTI/TUM/EuRoC evaluation grids (mirroring the
+    reference's evaluation_*.json) parse into runnable EvalConfigs with
+    resolvable tracker presets."""
+    import os
+
+    from pyslam_tpu.evaluation.manager import EvalConfig
+
+    base = os.path.join(
+        os.path.dirname(__file__), "..", "pyslam_tpu", "evaluation", "configs"
+    )
+    expected = {"kitti": 11, "tum": 5, "euroc": 6}
+    for name, n_datasets in expected.items():
+        cfg = EvalConfig.from_json(
+            os.path.join(base, f"evaluation_{name}.json")
+        )
+        assert len(cfg.datasets) == n_datasets
+        assert "baseline" in cfg.presets
+        assert cfg.runs_per_dataset == 5
+        for ds in cfg.datasets:
+            assert "groundtruth" in ds and "sensor_type" in ds
+        for preset in cfg.presets.values():
+            assert preset.num_features > 0
