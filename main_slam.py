@@ -57,6 +57,12 @@ def main():
     ap.add_argument("--trajectory_format", default="tum",
                     choices=["tum", "kitti", "euroc"])
     ap.add_argument("--headless", action="store_true", default=True)
+    ap.add_argument("--viewer", action="store_true",
+                    help="serve the live interactive 3D viewer (browser "
+                         "orbit renderer + pause/step/save/GBA/reset/quit "
+                         "controls consumed by this loop — the reference's "
+                         "pangolin Viewer3D surface over localhost HTTP)")
+    ap.add_argument("--viewer_port", type=int, default=8090)
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler device trace into LOGDIR "
                          "(TensorBoard/Perfetto viewable)")
@@ -158,6 +164,13 @@ def main():
 
         semantic_mapping = semantic_mapping_factory(slam.map)
 
+    viewer = None
+    if args.viewer:
+        from pyslam_tpu.viz.live_viewer import LiveViewer3D
+
+        viewer = LiveViewer3D(port=args.viewer_port)
+        Printer.cyan(f"live viewer: {viewer.url}")
+
     # ---------------------------------------------------------------- loop
     timer = TimerFps("frame")
     num_lost = 0
@@ -195,6 +208,33 @@ def main():
                 f"kfs={slam.map.num_keyframes()} pts={slam.map.num_points()} "
                 f"fps={timer.fps:.1f}"
             )
+        if viewer is not None:
+            # GUI controls driving the loop (reference main_slam.py:449-478)
+            viewer.update(
+                slam,
+                status=(f"frame {i}/{len(dataset)} · {slam.state.name} · "
+                        f"{slam.map.num_keyframes()} kfs · "
+                        f"{slam.map.num_points()} pts · "
+                        f"{timer.fps:.1f} fps"),
+            )
+            viewer.wait_if_paused()
+            for req in viewer.take_requests():
+                if req == "save":
+                    out = args.save_state or "./saved_state"
+                    slam.save_system_state(out)
+                    Printer.green(f"[viewer] state saved -> {out}")
+                elif req == "gba":
+                    Printer.cyan("[viewer] running global BA ...")
+                    slam.bundle_adjust()
+                    viewer.update(slam, force=True)
+                elif req == "reset":
+                    Printer.orange("[viewer] resetting SLAM system")
+                    slam.reset()
+                    last_kf_count = 0
+                    viewer.update(slam, force=True)
+            if viewer.should_quit():
+                Printer.orange("[viewer] quit requested")
+                break
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
@@ -232,6 +272,17 @@ def main():
     if integrator is not None:
         pts, cols = integrator.get_point_cloud()
         Printer.blue(f"dense map: {len(pts)} surface voxels")
+    if viewer is not None:
+        import sys
+        import time
+
+        viewer.update(slam, status="finished — press quit to exit",
+                      force=True)
+        if sys.stdin.isatty():   # interactive: keep the final map browsable
+            Printer.cyan(f"viewer live at {viewer.url} (quit to exit)")
+            while not viewer.should_quit():
+                time.sleep(0.2)
+        viewer.close()
     return 0
 
 

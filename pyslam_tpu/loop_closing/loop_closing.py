@@ -211,6 +211,13 @@ class LoopClosing:
         self.queue: deque[KeyFrame] = deque()
         self.last_loop_kf_id = -1
         self.num_loops_closed = 0
+        # concurrent GBA-then-correct protocol (reference
+        # global_bundle_adjustment.py:184-310): the post-correction GBA runs
+        # as polled device chunks while tracking continues; a newer loop
+        # supersedes (aborts) an in-flight solve
+        from pyslam_tpu.slam.global_bundle_adjustment import AsyncGBA
+
+        self.gba = AsyncGBA(camera, feature_tracker)
         self._key = jax.random.PRNGKey(11)
         # the reference's acceptance counts assume a 2000-feature budget;
         # scale them like the keyframe-decision thresholds
@@ -237,6 +244,8 @@ class LoopClosing:
         self.consistency.reset()
         self.last_loop_kf_id = -1
         self.num_loops_closed = 0
+        self.gba._state = None          # discard an in-flight solve
+        self.gba.abort_flag = False
 
     def save(self, path: str):
         """Persist the loop-closing DB: vocabulary + inverted index + global
@@ -352,12 +361,19 @@ class LoopClosing:
 
     def step(self) -> bool:
         if not self.queue:
-            return False
+            return self.gba.poll()     # service an in-flight GBA
         kf = self.queue.popleft()
         if kf.is_bad or kf.kid not in self.map.keyframes:
             return True
         self.process_keyframe(kf)
         return True
+
+    def finish(self):
+        """Drain the detection queue and block until an in-flight GBA has
+        applied (sequence end / before serialization)."""
+        while self.queue:
+            self.step()
+        self.gba.finish()
 
     # ------------------------------------------------------------- detection
     def process_keyframe(self, kf: KeyFrame):
@@ -675,11 +691,13 @@ class LoopClosing:
         # essential-graph PGO
         self._essential_graph_pgo(kf, cand, S_old, corrected)
 
-        # full GBA to polish (reference launches GBA after correction)
-        from pyslam_tpu.slam.global_bundle_adjustment import global_bundle_adjustment
-
-        global_bundle_adjustment(m, self.camera, self.tracker,
-                                 iters=Parameters.kOptimizerGBAIterations)
+        # full GBA to polish — dispatched concurrently (reference launches
+        # GBA in its own process after correction, global_bundle_adjustment
+        # .py:184): chunks are polled by step() while tracking continues;
+        # keyframes/points born during the solve are folded in on completion.
+        # dispatch() supersedes any still-running solve from a prior loop
+        # (the reference's mbStopGBA on a new loop detection).
+        self.gba.dispatch(m, iters=Parameters.kOptimizerGBAIterations)
 
     def _fuse_loop_points(self, kf: KeyFrame, cand: KeyFrame):
         from pyslam_tpu.ops import slam_matching

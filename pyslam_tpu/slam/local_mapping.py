@@ -61,6 +61,8 @@ class LocalMapping:
         self._job_stage = 0
         self._lba: dict | None = None
         self.lba_chunks_aborted = 0   # observability for the abort test
+        self._kf_count = 0            # processed keyframes (large-BA cadence)
+        self._next_large_ba = 0       # kf-count threshold for the next one
         from pyslam_tpu.utils.profiling import StageTimings
 
         self.timings = StageTimings("local_mapping")
@@ -173,6 +175,30 @@ class LocalMapping:
             if self.volumetric_integrator is not None:
                 self.volumetric_integrator.add_keyframe(kf)
             self._job = None
+            # periodic large-window BA (reference local_mapping.py:467-476
+            # runs it on its own thread every kEveryNumFramesLargeWindowBA
+            # keyframes): dispatch a wider-window LBA through the same async
+            # chunk machinery — it occupies the LBA slot and is polled like
+            # any other, so tracking latency stays bounded.  Deferred cadence:
+            # if the slot is busy at the threshold, run at the first idle
+            # opportunity instead of skipping the period.
+            self._kf_count += 1
+            if self._next_large_ba == 0:
+                self._next_large_ba = Parameters.kEveryNumFramesLargeWindowBA
+            if (
+                Parameters.kUseLargeWindowBA
+                and self._lba is None
+                and not self.queue
+                and self._kf_count >= self._next_large_ba
+                and self.map.num_keyframes() > 4
+            ):
+                self._next_large_ba = (
+                    self._kf_count + Parameters.kEveryNumFramesLargeWindowBA
+                )
+                with t.stage("large_ba_dispatch"):
+                    self._lba_dispatch(
+                        kf, window_size=Parameters.kLargeBAWindowSize
+                    )
             return
         self._job_stage = s + 1
 
@@ -526,13 +552,15 @@ class LocalMapping:
         while self._lba is not None:
             self._lba_poll(block=True)
 
-    def _lba_build(self, kf: KeyFrame):
+    def _lba_build(self, kf: KeyFrame, window_size: int | None = None):
         """Assemble the padded BAProblem for kf's covisibility window.
 
         Returns (problem, meta) or None when the window is too small
         (reference ``optimizer_g2o.py:614`` edge assembly)."""
         window_kids = [kf.kid] + kf.ordered_covisibles(
-            Parameters.kLocalBAWindowSize
+            window_size
+            if window_size is not None
+            else Parameters.kLocalBAWindowSize
         )
         window_kids = [k for k in window_kids if k in self.map.keyframes]
         local_pids = self.map.get_local_map_points(window_kids)
@@ -635,14 +663,14 @@ class LocalMapping:
         }
         return problem, meta
 
-    def _lba_dispatch(self, kf: KeyFrame):
+    def _lba_dispatch(self, kf: KeyFrame, window_size: int | None = None):
         """Dispatch the first LBA iteration chunk; results are polled by
         ``_lba_poll`` — the host never waits here."""
         # reference g2o clears mbAbortBA at BA start (optimizer_g2o.py:648):
         # an interrupt only stops FURTHER iterations, it never skips the
         # window's first chunk — every keyframe gets at least one LM pass
         self.opt_abort_flag = False
-        built = self._lba_build(kf)
+        built = self._lba_build(kf, window_size=window_size)
         if built is None:
             return
         problem, meta = built

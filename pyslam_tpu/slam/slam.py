@@ -93,6 +93,7 @@ class Slam:
             self.local_mapping.loop_closing = self.loop_closing
             self.loop_closing.local_mapping = self.local_mapping
             self.tracking.relocalizer = self.loop_closing.relocalizer
+            self.GBA = self.loop_closing.gba   # async post-loop GBA runner
 
     # ------------------------------------------------------------------ api
     def track(self, img, img_right=None, depth=None, frame_id=0, timestamp=0.0):
@@ -138,8 +139,7 @@ class Slam:
         reading the final trajectory/map)."""
         self.local_mapping.finish()
         if self.loop_closing is not None:
-            while self.loop_closing.step():
-                pass
+            self.loop_closing.finish()
         if self.volumetric_integrator is not None:
             self.volumetric_integrator.run_all()
 

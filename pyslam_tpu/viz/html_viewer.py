@@ -98,9 +98,10 @@ draw();
 """
 
 
-def export_html_map(slam, out_path: str, dense_points=None,
-                    max_points: int = 60000, covis_min_weight: int = 30):
-    """Write a standalone interactive viewer for the SLAM map."""
+def build_map_snapshot(slam, dense_points=None, max_points: int = 60000,
+                       covis_min_weight: int = 30):
+    """Collect the viewer scene (points/trajectory/frusta/graph edges) as a
+    JSON-ready dict — shared by the static HTML export and the live viewer."""
     st = slam.map.points
     pids = st.alive_ids()
     pts = np.asarray(st.pos[pids], np.float32)
@@ -135,7 +136,7 @@ def export_html_map(slam, out_path: str, dense_points=None,
     if len(dense) > max_points:
         dense = dense[np.random.default_rng(1).choice(
             len(dense), max_points, replace=False)]
-    data = {
+    return {
         "points": np.round(pts, 3).tolist(),
         "dense": np.round(dense, 3).tolist(),
         "traj": np.round(np.asarray(traj, np.float32), 3).tolist(),
@@ -143,9 +144,20 @@ def export_html_map(slam, out_path: str, dense_points=None,
         "cov": cov, "span": span, "loops": loops,
         "center": np.round(center, 3).tolist(),
         "radius": radius,
+        "n_points": int(slam.map.num_points()),
+        "n_kfs": len(kf_poses),
+        "n_loops": len(loops),
     }
-    stats = (f"{len(pts)} pts &middot; {len(kf_poses)} kfs &middot; "
-             f"{len(loops)} loops<br>")
+
+
+def export_html_map(slam, out_path: str, dense_points=None,
+                    max_points: int = 60000, covis_min_weight: int = 30):
+    """Write a standalone interactive viewer for the SLAM map."""
+    data = build_map_snapshot(slam, dense_points=dense_points,
+                              max_points=max_points,
+                              covis_min_weight=covis_min_weight)
+    stats = (f"{data['n_points']} pts &middot; {data['n_kfs']} kfs &middot; "
+             f"{data['n_loops']} loops<br>")
     html = _TEMPLATE.replace("__DATA__", json.dumps(data)) \
                     .replace("__STATS__", stats)
     with open(out_path, "w") as f:

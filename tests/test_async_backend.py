@@ -171,3 +171,49 @@ def test_keyframe_frame_latency_bounded():
             f"keyframe-frame p95 {p95_busy*1e3:.0f}ms vs normal median "
             f"{med_normal*1e3:.0f}ms"
         )
+
+
+def test_large_window_ba_cadence():
+    """kUseLargeWindowBA dispatches a wider-window BA every
+    kEveryNumFramesLargeWindowBA processed keyframes (reference
+    local_mapping.py:467-476 runs it on its own thread)."""
+    from pyslam_tpu.config_parameters import Parameters
+
+    ds = SyntheticDataset(
+        num_frames=26, sensor_type=SensorType.STEREO, trajectory="line",
+        step=0.5,
+    )
+    slam = _make_slam(ds, SensorType.STEREO)
+    lm = slam.local_mapping
+
+    dispatches = []
+    orig = lm._lba_dispatch
+
+    def spy(kf, window_size=None):
+        dispatches.append(window_size)
+        orig(kf, window_size=window_size)
+
+    lm._lba_dispatch = spy
+    old = (Parameters.kUseLargeWindowBA,
+           Parameters.kEveryNumFramesLargeWindowBA)
+    Parameters.kUseLargeWindowBA = True
+    Parameters.kEveryNumFramesLargeWindowBA = 2
+    try:
+        for i in range(len(ds)):
+            slam.track(
+                ds.getImage(i), img_right=ds.getImageRight(i),
+                frame_id=i, timestamp=ds.getTimestamp(i),
+            )
+        slam.finish()
+    finally:
+        (Parameters.kUseLargeWindowBA,
+         Parameters.kEveryNumFramesLargeWindowBA) = old
+    assert lm._kf_count >= 5, f"only {lm._kf_count} keyframes processed"
+    large = [w for w in dispatches if w is not None]
+    # deferred cadence: ≥1 large BA once the map clears the >4-KF gate, and
+    # roughly every-2-keyframes afterwards (slot-busy periods defer, never
+    # skip); all large dispatches use the wide window
+    assert len(large) >= max(1, (lm._kf_count - 5) // 2), (
+        f"{len(large)} large-window BAs over {lm._kf_count} keyframes"
+    )
+    assert all(w == Parameters.kLargeBAWindowSize for w in large)
