@@ -114,19 +114,32 @@ class VolumetricIntegrator:
             pass
 
     def _integrate_snapshot(self, snap: KeyframeSnapshot):
+        estimated_on_device = False
         if snap.depth is None:
             if self._depth_provider is None or snap.intensity is None:
                 return
             # estimate depth at integration time (reference
             # kVolumetricIntegrationUseDepthEstimator): SGM from the stereo
-            # pair, or a monocular network on the left image.  Cache the
-            # result on the snapshot so rebuild() does not re-estimate.
-            depth, _ = self._depth_provider.infer(
-                snap.intensity, img_right=snap.img_right
-            )
-            snap.depth = np.where(np.isfinite(depth), depth, 0.0).astype(
-                np.float32
-            )
+            # pair, or a monocular network on the left image.
+            if (
+                snap.img_right is not None
+                and hasattr(self._depth_provider, "infer_depth_device")
+            ):
+                # device fast path: depth stays on device and flows straight
+                # into the TSDF update — the whole keyframe integration is
+                # async dispatch, zero host round trips (finite by
+                # construction: the SGM path gates through jnp.where)
+                snap.depth = self._depth_provider.infer_depth_device(
+                    snap.intensity, img_right=snap.img_right
+                )
+                estimated_on_device = True
+            else:
+                depth, _ = self._depth_provider.infer(
+                    snap.intensity, img_right=snap.img_right
+                )
+                snap.depth = np.where(np.isfinite(depth), depth, 0.0).astype(
+                    np.float32
+                )
         intensity = (
             snap.intensity
             if snap.intensity is not None
@@ -136,6 +149,10 @@ class VolumetricIntegrator:
         if intensity.ndim == 3:
             intensity = intensity.mean(axis=-1)
         self.volume.integrate(snap.depth, intensity, snap.Twc, self.camera.K)
+        if estimated_on_device:
+            # don't pin a full-resolution device depth per keyframe for the
+            # whole session; rebuild() re-estimates on the same fast path
+            snap.depth = None
 
     # -------------------------------------------------------------- rebuild
     def rebuild(self, slam_map):

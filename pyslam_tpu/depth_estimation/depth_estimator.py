@@ -85,6 +85,26 @@ class DepthEstimatorSgbm(DepthEstimator):
             depth = np.where(disp > 0, disp, 0.0).astype(np.float32)
         return depth, self._depth_to_points(depth)
 
+    def infer_depth_device(self, img, img_right=None):
+        """Depth map as a DEVICE array with no host synchronization — for
+        consumers that feed it straight into another device stage (the TSDF
+        integrator), keeping the whole SGM->TSDF keyframe path free of
+        host<->device round trips."""
+        assert img_right is not None, "SGBM needs a stereo pair"
+        disp = sgm_disparity(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(img_right, jnp.float32),
+            max_disp=self.max_disparity,
+        )
+        if self.camera is not None and self.camera.bf > 0:
+            depth = jnp.where(disp > 0, self.camera.bf / jnp.maximum(disp, 1e-6), 0.0)
+            depth = jnp.where(
+                (depth > self.min_depth) & (depth < self.max_depth), depth, 0.0
+            )
+        else:
+            depth = jnp.where(disp > 0, disp, 0.0)
+        return depth.astype(jnp.float32)
+
 
 class DepthEstimatorDepthAnything(DepthEstimator):
     """DepthAnythingV2 (faithful DINOv2+DPT, models/depth_anything_v2.py)

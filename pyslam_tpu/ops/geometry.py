@@ -208,3 +208,57 @@ def skew_matmul_F(T_21: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray) -> jnp.nd
     R, t = lie.T_to_rt(T_21)
     E = lie.hat(t) @ R
     return jnp.linalg.inv(K2).T @ E @ jnp.linalg.inv(K1)
+
+
+def fundamental_np(T_21, K1, K2):
+    """Host-numpy fundamental matrix F_21 (x2^T F x1 = 0) from cam1->cam2.
+
+    3x3 outputs are cheaper to compute on host than to read back from the
+    device (one RTT per covisible neighbor in the triangulation loop).
+    """
+    import numpy as np
+
+    R, t = np.asarray(T_21)[:3, :3], np.asarray(T_21)[:3, 3]
+    E = np.array(
+        [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]]
+    ) @ R
+    return np.linalg.inv(np.asarray(K2)).T @ E @ np.linalg.inv(np.asarray(K1))
+
+
+def triangulation_checks_np(
+    pts_w, T1w, T2w, xy1, xy2, sigma2_1, sigma2_2,
+    chi2_th: float = 5.991, cos_max_parallax: float = 0.9998,
+):
+    """Host-numpy twin of :func:`triangulation_checks` (same gates, f64):
+    the triangulated points already live on host (f64 DLT), so checking them
+    on host removes a device round trip per covisible neighbor."""
+    import numpy as np
+
+    pts_w = np.asarray(pts_w, np.float64)
+    T1w = np.asarray(T1w, np.float64)
+    T2w = np.asarray(T2w, np.float64)
+    pc1 = pts_w @ T1w[:3, :3].T + T1w[:3, 3]
+    pc2 = pts_w @ T2w[:3, :3].T + T2w[:3, 3]
+    z1, z2 = pc1[..., 2], pc2[..., 2]
+
+    def reproj_err2(pc, xy):
+        zs = np.where(np.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+        proj = pc[..., :2] / zs[..., None]
+        return np.sum((proj - np.asarray(xy)) ** 2, axis=-1)
+
+    e1 = reproj_err2(pc1, xy1)
+    e2 = reproj_err2(pc2, xy2)
+    c1 = -T1w[:3, :3].T @ T1w[:3, 3]
+    c2 = -T2w[:3, :3].T @ T2w[:3, 3]
+    r1 = pts_w - c1[None, :]
+    r2 = pts_w - c2[None, :]
+    cos_par = np.sum(r1 * r2, axis=-1) / np.maximum(
+        np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1), 1e-12
+    )
+    return (
+        (z1 > 0.0)
+        & (z2 > 0.0)
+        & (e1 < chi2_th * np.asarray(sigma2_1))
+        & (e2 < chi2_th * np.asarray(sigma2_2))
+        & (cos_par < cos_max_parallax)
+    )

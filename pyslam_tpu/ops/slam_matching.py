@@ -241,3 +241,33 @@ def fuse_candidates(
     best_dist = jnp.take_along_axis(dmat, best_kp[:, None].astype(jnp.int64), axis=1)[:, 0]
     ok = best_dist <= max_descriptor_distance
     return jnp.where(ok, best_kp, -1), best_dist
+
+
+# ----------------------------------------------------- neighbor-batched ops
+#
+# Local mapping visits ~10-20 covisible neighbor keyframes per new keyframe
+# (reference local_mapping.py:560 triangulation loop, geometry_matchers.py:662
+# search_and_fuse).  A device dispatch + synchronous readback per neighbor
+# costs one full host<->device round trip each — the dominant cost of the
+# back-end on a remote-attached TPU (~30 ms RTT measured through the tunnel).
+# These vmapped variants run ALL neighbors as one XLA program with ONE packed
+# readback; callers pad the neighbor axis to a power-of-two bucket so the
+# compiled graph is reused across keyframes.
+
+epipolar_triangulation_match_batch = jax.jit(
+    jax.vmap(
+        epipolar_triangulation_match,
+        in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0, None, None),
+    )
+)
+"""(B,)-stacked kf2 arrays + per-neighbor F/epipole -> idx2 (B, N1)."""
+
+
+fuse_candidates_batch = jax.jit(
+    jax.vmap(
+        fuse_candidates,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                 None, None, None, None, None, None),
+    )
+)
+"""(B,)-stacked candidate-point sets fused into (B,)-stacked target KFs."""

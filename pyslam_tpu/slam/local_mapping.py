@@ -288,7 +288,16 @@ class LocalMapping:
     # ------------------------------------------------- create_new_map_points
     def create_new_map_points(self, kf: KeyFrame):
         """Epipolar search + triangulation with covisible neighbors
-        (reference ``local_mapping.py:560``)."""
+        (reference ``local_mapping.py:560``).
+
+        All covisible neighbors are matched in ONE vmapped device dispatch
+        with ONE packed readback
+        (:func:`ops.slam_matching.epipolar_triangulation_match_batch`);
+        triangulation (host f64 DLT — a jnp f64 request truncates to f32 on
+        TPU and the DLT eigensolve noise inflates drift measurably) and the
+        acceptance gates run on host, so the stage costs a single
+        host<->device round trip regardless of the covisibility degree
+        (~30 ms RTT each through the remote-TPU tunnel)."""
         n_neighbors = (
             Parameters.kLocalMappingNumNeighborKeyFramesMonocular
             if self.sensor_type == SensorType.MONOCULAR
@@ -296,9 +305,9 @@ class LocalMapping:
         )
         neighbor_kids = kf.ordered_covisibles(n_neighbors)
         cam = self.camera
-        K = jnp.asarray(cam.K, jnp.float32)
-        sigma2 = jnp.asarray(self.tracker.sigma2)
-        total_new = 0
+
+        # ---- host prep per neighbor: baseline gate, fundamental, epipole
+        neighbors = []   # (kf2, F_21, epipole2)
         for kid2 in neighbor_kids:
             kf2 = self.map.keyframes.get(kid2)
             if kf2 is None or kf2.is_bad:
@@ -306,7 +315,6 @@ class LocalMapping:
             # baseline check: skip if baseline too small vs scene depth
             baseline = np.linalg.norm(kf2.Ow - kf.Ow)
             if self.sensor_type == SensorType.MONOCULAR:
-                depths = kf2.depths[kf2.depths > 0]
                 pids2 = kf2.points[kf2.points >= 0]
                 if len(pids2) > 0:
                     pc = (kf2.Tcw[:3, :3] @ self.map.points.pos[pids2].T).T + kf2.Tcw[:3, 3]
@@ -317,11 +325,9 @@ class LocalMapping:
                     continue
             elif baseline < cam.b:
                 continue
-
-            T12 = kf.Tcw @ np.linalg.inv(kf2.Tcw)  # maps cam2 -> cam1
-            # F21 such that x2^T F x1 = 0 with T_21 = cam1->cam2
+            # F21 such that x2^T F x1 = 0 with T_21 = cam1->cam2 (host 3x3)
             T21 = kf2.Tcw @ np.linalg.inv(kf.Tcw)
-            F = np.asarray(geometry.skew_matmul_F(jnp.asarray(T21, jnp.float32), K, K))
+            F = geometry.fundamental_np(T21, cam.K, cam.K).astype(np.float32)
             # epipole of kf's center in kf2 image
             c1_in_2 = kf2.Tcw[:3, :3] @ kf.Ow + kf2.Tcw[:3, 3]
             if abs(c1_in_2[2]) < 1e-6:
@@ -334,106 +340,137 @@ class LocalMapping:
                     ],
                     np.float32,
                 )
+            neighbors.append((kf2, F, epi))
+        if not neighbors:
+            return 0
 
-            free1 = (kf.points < 0) & kf.valid & ~kf.outliers
-            free2 = (kf2.points < 0) & kf2.valid & ~kf2.outliers
-            idx2, _ = slam_matching.epipolar_triangulation_match(
+        sigma2 = jnp.asarray(self.tracker.sigma2)
+        free1 = (kf.points < 0) & kf.valid & ~kf.outliers
+        max_dist = float(Parameters.kMaxDescriptorDistance)
+        uniform = all(
+            n[0].kps.shape == kf.kps.shape and n[0].des.shape == kf.des.shape
+            for n in neighbors
+        )
+        if uniform:
+            # one batched dispatch over a bucketed neighbor axis (pad rows
+            # replicate neighbor 0 with free2=False so they match nothing,
+            # and the compiled graph is reused across keyframes)
+            B = len(neighbors)
+            Bp = bucket_size(B, minimum=2)
+            pad = Bp - B
+            kf2s = [n[0] for n in neighbors]
+            kps2 = np.stack([k.kps for k in kf2s] + [kf2s[0].kps] * pad)
+            lvl2 = np.stack([k.levels for k in kf2s] + [kf2s[0].levels] * pad)
+            des2 = np.stack([k.des for k in kf2s] + [kf2s[0].des] * pad)
+            free2 = np.stack(
+                [(k.points < 0) & k.valid & ~k.outliers for k in kf2s]
+                + [np.zeros_like(kf2s[0].valid, bool)] * pad
+            )
+            Fs = np.stack([n[1] for n in neighbors] + [neighbors[0][1]] * pad)
+            epis = np.stack([n[2] for n in neighbors] + [neighbors[0][2]] * pad)
+            idx2_all, _ = slam_matching.epipolar_triangulation_match_batch(
                 jnp.asarray(kf.kps), jnp.asarray(kf.levels), jnp.asarray(kf.des),
                 jnp.asarray(free1),
-                jnp.asarray(kf2.kps), jnp.asarray(kf2.levels), jnp.asarray(kf2.des),
+                jnp.asarray(kps2), jnp.asarray(lvl2), jnp.asarray(des2),
                 jnp.asarray(free2),
-                jnp.asarray(F, jnp.float32), jnp.asarray(epi),
-                sigma2,
-                float(Parameters.kMaxDescriptorDistance),
+                jnp.asarray(Fs, jnp.float32), jnp.asarray(epis, jnp.float32),
+                sigma2, max_dist,
             )
-            idx2 = np.asarray(idx2)
-            i1 = np.nonzero(idx2 >= 0)[0]
-            if len(i1) == 0:
-                continue
-            i2 = idx2[i1]
-            n_real = len(i1)
-
-            # triangulate in normalized coords — PADDED to a power-of-two
-            # bucket: data-dependent match counts would otherwise compile a
-            # fresh XLA graph per count (measured 17.4 s/keyframe of pure
-            # compilation on the TPU remote-compile path)
-            i1p, _ = pad_bucket(i1, fill=i1[0])
-            i2p, _ = pad_bucket(i2, fill=i2[0])
-            xy1 = np.asarray(cam.unproject_points(kf.kps[i1p]))
-            xy2 = np.asarray(cam.unproject_points(kf2.kps[i2p]))
-            # HOST f64 triangulation: on TPU a jnp f64 request truncates to
-            # f32 and the DLT eigensolve noise inflates drift measurably
-            pts = geometry.triangulate_dlt_np(kf.Tcw, kf2.Tcw, xy1, xy2)
-            sig1 = self.tracker.sigma2[kf.levels[i1p]] / cam.fx**2
-            sig2 = self.tracker.sigma2[kf2.levels[i2p]] / cam.fx**2
-            ok = np.array(
-                geometry.triangulation_checks(
-                    jnp.asarray(pts), jnp.asarray(kf.Tcw), jnp.asarray(kf2.Tcw),
-                    jnp.asarray(xy1), jnp.asarray(xy2),
-                    jnp.asarray(sig1), jnp.asarray(sig2),
-                    cos_max_parallax=Parameters.kCosMaxParallax,
+            idx2_all = np.asarray(idx2_all)[:B]
+        else:
+            # mixed extraction shapes (e.g. after a config change): fall back
+            # to one dispatch per neighbor
+            idx2_list = []
+            for kf2, F, epi in neighbors:
+                free2 = (kf2.points < 0) & kf2.valid & ~kf2.outliers
+                idx2, _ = slam_matching.epipolar_triangulation_match(
+                    jnp.asarray(kf.kps), jnp.asarray(kf.levels),
+                    jnp.asarray(kf.des), jnp.asarray(free1),
+                    jnp.asarray(kf2.kps), jnp.asarray(kf2.levels),
+                    jnp.asarray(kf2.des), jnp.asarray(free2),
+                    jnp.asarray(F, jnp.float32), jnp.asarray(epi),
+                    sigma2, max_dist,
                 )
-            )
-            # drop pad rows, restore real-row views
-            pts, ok = pts[:n_real], ok[:n_real]
-            # scale-consistency check between the two observations
-            d1 = np.linalg.norm(pts - kf.Ow, axis=1)
-            d2 = np.linalg.norm(pts - kf2.Ow, axis=1)
-            sf = self.tracker.scale_factors
-            ratio_dist = d2 / np.maximum(d1, 1e-9)
-            ratio_octave = sf[kf.levels[i1]] / sf[kf2.levels[i2]]
-            rf = Parameters.kScaleConsistencyFactor
-            ok &= (ratio_dist < ratio_octave * rf) & (ratio_dist * rf > ratio_octave)
+                idx2_list.append(np.asarray(idx2))
+            idx2_all = idx2_list
 
-            sel = np.nonzero(ok)[0]
-            if len(sel) == 0:
-                continue
-            pids = self.map.add_points_for_keyframe(
-                kf, i1[sel], pts[sel], kf2=kf2, kp_idxs2=i2[sel]
-            )
-            self.map.update_point_descriptors_and_normals(pids)
-            self.recent_pids.extend(int(p) for p in pids)
-            total_new += len(pids)
+        total_new = 0
+        for b, (kf2, F, epi) in enumerate(neighbors):
+            total_new += self._triangulate_pairs(kf, kf2, idx2_all[b])
         if total_new:
             self.map.update_connections(kf)
         return total_new
 
+    def _triangulate_pairs(self, kf: KeyFrame, kf2: KeyFrame, idx2) -> int:
+        """Host half of triangulation for one neighbor: pair selection
+        (re-checked against keypoint slots claimed by earlier neighbors in
+        this round, since the batched match saw the pre-round free masks),
+        f64 DLT, acceptance gates, map insertion."""
+        cam = self.camera
+        i1 = np.nonzero(idx2 >= 0)[0]
+        if len(i1) == 0:
+            return 0
+        i2 = idx2[i1]
+        still_free = (kf.points[i1] < 0) & (kf2.points[i2] < 0)
+        i1, i2 = i1[still_free], i2[still_free]
+        if len(i1) == 0:
+            return 0
+
+        xy1 = np.asarray(cam.unproject_points(kf.kps[i1]))
+        xy2 = np.asarray(cam.unproject_points(kf2.kps[i2]))
+        pts = geometry.triangulate_dlt_np(kf.Tcw, kf2.Tcw, xy1, xy2)
+        sig1 = self.tracker.sigma2[kf.levels[i1]] / cam.fx**2
+        sig2 = self.tracker.sigma2[kf2.levels[i2]] / cam.fx**2
+        ok = geometry.triangulation_checks_np(
+            pts, kf.Tcw, kf2.Tcw, xy1, xy2, sig1, sig2,
+            cos_max_parallax=Parameters.kCosMaxParallax,
+        )
+        # scale-consistency check between the two observations
+        d1 = np.linalg.norm(pts - kf.Ow, axis=1)
+        d2 = np.linalg.norm(pts - kf2.Ow, axis=1)
+        sf = self.tracker.scale_factors
+        ratio_dist = d2 / np.maximum(d1, 1e-9)
+        ratio_octave = sf[kf.levels[i1]] / sf[kf2.levels[i2]]
+        rf = Parameters.kScaleConsistencyFactor
+        ok &= (ratio_dist < ratio_octave * rf) & (ratio_dist * rf > ratio_octave)
+
+        sel = np.nonzero(ok)[0]
+        if len(sel) == 0:
+            return 0
+        pids = self.map.add_points_for_keyframe(
+            kf, i1[sel], pts[sel], kf2=kf2, kp_idxs2=i2[sel]
+        )
+        self.map.update_point_descriptors_and_normals(pids)
+        self.recent_pids.extend(int(p) for p in pids)
+        return len(pids)
+
     # --------------------------------------------------------- fuse (device)
     def fuse_map_points(self, kf: KeyFrame):
         """Project neighbors' points into kf and vice versa; merge duplicates
-        (reference ``geometry_matchers.search_and_fuse:662``)."""
+        (reference ``geometry_matchers.search_and_fuse:662``).
+
+        TWO device round trips total: neighbors' points into kf (one call)
+        and kf's points into ALL neighbors as one vmapped dispatch with a
+        single packed readback
+        (:func:`ops.slam_matching.fuse_candidates_batch`) — instead of one
+        ~30 ms tunnel round trip per covisible neighbor."""
         neighbor_kids = kf.ordered_covisibles(10)
         if not neighbor_kids:
             return
         st = self.map.points
+        shared_args = (
+            jnp.asarray(self.camera.K, jnp.float32),
+            jnp.asarray(self.camera.bf, jnp.float32),
+            jnp.asarray(
+                [self.camera.u_min, self.camera.u_max,
+                 self.camera.v_min, self.camera.v_max], jnp.float32
+            ),
+            jnp.asarray(self.tracker.scale_factors),
+            jnp.asarray(self.tracker.sigma2),
+            float(Parameters.kMaxDescriptorDistance) * 0.5,
+        )
 
-        def fuse_into(target_kf: KeyFrame, cand_pids: np.ndarray):
-            if len(cand_pids) == 0:
-                return
-            pos_p, valid_p = pad_bucket(st.pos[cand_pids])
-            m = len(valid_p)
-            best_kp, _ = slam_matching.fuse_candidates(
-                jnp.asarray(pos_p, jnp.float32),
-                jnp.asarray(pad_rows(st.desc[cand_pids], m)),
-                jnp.asarray(pad_rows(st.normal[cand_pids], m)),
-                jnp.asarray(pad_rows(st.min_dist[cand_pids], m)),
-                jnp.asarray(pad_rows(st.max_dist[cand_pids], m, fill=1.0)),
-                jnp.asarray(valid_p),
-                jnp.asarray(target_kf.kps), jnp.asarray(target_kf.levels),
-                jnp.asarray(target_kf.des), jnp.asarray(target_kf.valid),
-                jnp.asarray(target_kf.kps_ur),
-                jnp.asarray(target_kf.Tcw, jnp.float32),
-                jnp.asarray(self.camera.K, jnp.float32),
-                jnp.asarray(self.camera.bf, jnp.float32),
-                jnp.asarray(
-                    [self.camera.u_min, self.camera.u_max,
-                     self.camera.v_min, self.camera.v_max], jnp.float32
-                ),
-                jnp.asarray(self.tracker.scale_factors),
-                jnp.asarray(self.tracker.sigma2),
-                float(Parameters.kMaxDescriptorDistance) * 0.5,
-            )
-            best_kp = np.asarray(best_kp)[: len(cand_pids)]
+        def harvest(target_kf: KeyFrame, cand_pids: np.ndarray, best_kp):
             for row, kp_idx in enumerate(best_kp):
                 if kp_idx < 0:
                     continue
@@ -452,13 +489,36 @@ class LocalMapping:
                 else:
                     self.map.add_observation(pid, target_kf, int(kp_idx))
 
-        # neighbors' points into kf
+        def fuse_into(target_kf: KeyFrame, cand_pids: np.ndarray):
+            if len(cand_pids) == 0:
+                return
+            pos_p, valid_p = pad_bucket(st.pos[cand_pids])
+            m = len(valid_p)
+            best_kp, _ = slam_matching.fuse_candidates(
+                jnp.asarray(pos_p, jnp.float32),
+                jnp.asarray(pad_rows(st.desc[cand_pids], m)),
+                jnp.asarray(pad_rows(st.normal[cand_pids], m)),
+                jnp.asarray(pad_rows(st.min_dist[cand_pids], m)),
+                jnp.asarray(pad_rows(st.max_dist[cand_pids], m, fill=1.0)),
+                jnp.asarray(valid_p),
+                jnp.asarray(target_kf.kps), jnp.asarray(target_kf.levels),
+                jnp.asarray(target_kf.des), jnp.asarray(target_kf.valid),
+                jnp.asarray(target_kf.kps_ur),
+                jnp.asarray(target_kf.Tcw, jnp.float32),
+                *shared_args,
+            )
+            harvest(target_kf, cand_pids, np.asarray(best_kp)[: len(cand_pids)])
+
+        # neighbors' points into kf (single dispatch)
         neigh_pids = self.map.get_local_map_points(neighbor_kids)
         own = set(int(p) for p in kf.points[kf.points >= 0])
         cand = np.asarray([p for p in neigh_pids if p not in own], np.int64)
         fuse_into(kf, cand)
-        # kf's points into each neighbor
+
+        # kf's points into each neighbor: gather per-neighbor candidates on
+        # host, then ONE vmapped dispatch over a bucketed neighbor axis
         kf_pids = kf.points[kf.points >= 0]
+        jobs = []
         for kid2 in neighbor_kids:
             kf2 = self.map.keyframes.get(kid2)
             if kf2 is None:
@@ -468,7 +528,51 @@ class LocalMapping:
                 [int(p) for p in kf_pids if int(p) not in own2 and st.valid[int(p)]],
                 np.int64,
             )
-            fuse_into(kf2, cand2)
+            if len(cand2) == 0:
+                continue
+            if kf2.kps.shape != kf.kps.shape or kf2.des.shape != kf.des.shape:
+                fuse_into(kf2, cand2)   # mixed shapes: per-target fallback
+            else:
+                jobs.append((kf2, cand2))
+        if jobs:
+            M = bucket_size(max(len(c) for _, c in jobs))
+            B = len(jobs)
+            Bp = bucket_size(B, minimum=2)
+            pad = Bp - B
+
+            def stack_pt(field, fill=0.0):
+                rows = [pad_rows(field[c], M, fill) for _, c in jobs]
+                rows += [np.zeros_like(rows[0])] * pad
+                return jnp.asarray(np.stack(rows))
+
+            valid_rows = []
+            for _, c in jobs:
+                v = np.zeros((M,), bool)
+                v[: len(c)] = True
+                valid_rows.append(v)
+            valid_rows += [np.zeros((M,), bool)] * pad
+            tgt = [j[0] for j in jobs] + [jobs[0][0]] * pad
+            best_all, _ = slam_matching.fuse_candidates_batch(
+                stack_pt(st.pos).astype(jnp.float32),
+                stack_pt(st.desc),
+                stack_pt(st.normal),
+                stack_pt(st.min_dist),
+                stack_pt(st.max_dist, fill=1.0),
+                jnp.asarray(np.stack(valid_rows)),
+                jnp.asarray(np.stack([t.kps for t in tgt])),
+                jnp.asarray(np.stack([t.levels for t in tgt])),
+                jnp.asarray(np.stack([t.des for t in tgt])),
+                jnp.asarray(np.stack([t.valid for t in tgt])),
+                jnp.asarray(np.stack([t.kps_ur for t in tgt])),
+                jnp.asarray(
+                    np.stack([t.Tcw for t in tgt]).astype(np.float32)
+                ),
+                *shared_args,
+            )
+            best_all = np.asarray(best_all)
+            for j, (kf2, cand2) in enumerate(jobs):
+                harvest(kf2, cand2, best_all[j, : len(cand2)])
+
         self.map.update_point_descriptors_and_normals(
             np.unique(kf.points[kf.points >= 0])
         )
