@@ -352,11 +352,17 @@ class LocalMapping:
             for n in neighbors
         )
         if uniform:
-            # one batched dispatch over a bucketed neighbor axis (pad rows
-            # replicate neighbor 0 with free2=False so they match nothing,
-            # and the compiled graph is reused across keyframes)
+            # one batched dispatch over the neighbor axis, padded to the
+            # FIXED covisibility cap (pad rows replicate neighbor 0 with
+            # free2=False so they match nothing).  A fixed pad width means
+            # exactly ONE compiled graph per config for the life of the run
+            # — geometric buckets here caused a recompile every time the
+            # covisibility degree crossed a power of two, and each ~2s
+            # compile landed in the keyframe-frame latency path.  The padded
+            # tail is a leading batch dim: trivial extra MXU work vs a 30ms
+            # tunnel RTT per dispatch.
             B = len(neighbors)
-            Bp = bucket_size(B, minimum=2)
+            Bp = max(2, n_neighbors)
             pad = Bp - B
             kf2s = [n[0] for n in neighbors]
             kps2 = np.stack([k.kps for k in kf2s] + [kf2s[0].kps] * pad)
