@@ -110,6 +110,13 @@ def test_stereo_tsdf_through_integrator_depth_provider():
     assert integ.volume.num_voxels() > 0, (
         "TSDF not populated through the stereo depth-provider path"
     )
-    # snapshots cached their estimated depth for rebuild()
+    # snapshots keep enough data for rebuild(): either the cached depth or
+    # (device fast path) the stereo pair to re-estimate it; rebuild must
+    # repopulate the volume from scratch
     snap = next(iter(integ.snapshots.values()))
-    assert snap.depth is not None and (snap.depth > 0).any()
+    assert snap.depth is not None or (
+        snap.intensity is not None and snap.img_right is not None
+    )
+    n_before = integ.volume.num_voxels()
+    integ.rebuild(slam.map)
+    assert integ.volume.num_voxels() > 0.5 * n_before
