@@ -22,6 +22,7 @@ non-real-time, pyslam tracking.py:990).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,9 +33,48 @@ FX = 718.856
 BASELINE_M = 0.54          # KITTI stereo baseline
 N_FEATURES = 2000
 N_LEVELS = 8
-N_FRAMES = 120
-N_WARMUP = 18              # covers compile of frame/track/KF/LBA graph shapes
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", 120))
+N_WARMUP = int(os.environ.get("BENCH_WARMUP", 18))
 TARGET_FPS = 60.0
+KF_DEBUG = os.environ.get("BENCH_KF_DEBUG", "") == "1"
+
+
+class CompileCounter:
+    """Counts XLA compiles via jax's own compile-log records; lets the bench
+    assert ZERO steady-state recompilation (fixed-shape policy)."""
+
+    def __init__(self):
+        import logging
+
+        self.events = []   # (wall_time, message)
+
+        class H(logging.Handler):
+            def emit(h, record):
+                msg = record.getMessage()
+                if "Compiling" in msg:
+                    self.events.append((time.perf_counter(), msg.split("\n")[0]))
+
+        self.handler = H()
+
+    def install(self):
+        import logging
+
+        import jax
+
+        jax.config.update("jax_log_compiles", True)
+        for name in ("jax._src.interpreters.pxla", "jax._src.dispatch"):
+            lg = logging.getLogger(name)
+            lg.addHandler(self.handler)
+            # keep the per-op "Finished tracing ..." WARNING spam (a side
+            # effect of jax_log_compiles) out of stderr; our handler above
+            # still records the "Compiling ..." events
+            lg.propagate = False
+
+    def count_since(self, t0: float) -> int:
+        return sum(1 for t, _ in self.events if t >= t0)
+
+    def since(self, t0: float):
+        return [m for t, m in self.events if t >= t0]
 
 
 def build_stream():
@@ -123,8 +163,27 @@ def bench_tsdf_rate(integrator, camera):
 
 
 def main():
+    cc = CompileCounter()
+    cc.install()
     ds, frames = build_stream()
     slam, integrator = build_slam(ds)
+    if KF_DEBUG:
+        from pyslam_tpu.config_parameters import Parameters
+
+        Parameters.kLogKeyFrameDecision = True
+    # ablation knobs for latency attribution (single device queue: back-end
+    # dispatches serialize with the frame-critical graphs)
+    if os.environ.get("BENCH_NO_TSDF") == "1":
+        slam.volumetric_integrator = None
+        slam.local_mapping.volumetric_integrator = None
+        print("ablation: TSDF integration disabled", file=sys.stderr)
+    if os.environ.get("BENCH_NO_LBA") == "1":
+        slam.local_mapping._lba_dispatch = lambda kf, window_size=None: None
+        print("ablation: LBA disabled", file=sys.stderr)
+    if os.environ.get("BENCH_NO_BACKEND") == "1":
+        slam.local_mapping.step_async = lambda: False
+        slam.local_mapping.harvest = lambda: False
+        print("ablation: entire back-end disabled", file=sys.stderr)
 
     lats = []          # per-frame wall latency (timed window)
     kf_flags = []      # was a keyframe created on this frame?
@@ -134,8 +193,16 @@ def main():
     for i, (img_l, img_r, ts) in enumerate(frames):
         if i == N_WARMUP:
             t_bench_0 = time.perf_counter()
+        # pipelined loop: hand the next frame to track() so its extraction
+        # dispatch overlaps this frame's readback + host work
+        nxt = None
+        if i + 1 < len(frames):
+            nl, nr, nts = frames[i + 1]
+            nxt = {"img": nl, "img_right": nr, "frame_id": i + 1,
+                   "timestamp": nts}
         t0 = time.perf_counter()
-        slam.track(img_l, img_right=img_r, frame_id=i, timestamp=ts)
+        slam.track(img_l, img_right=img_r, frame_id=i, timestamp=ts,
+                   next_input=nxt)
         t1 = time.perf_counter()
         n_kf = slam.map.num_keyframes()
         if i >= N_WARMUP:
@@ -166,13 +233,18 @@ def main():
     n_kfs = slam.map.num_keyframes()
     tsdf_n = integrator.volume.num_voxels()
 
+    n_recompiles = cc.count_since(t_bench_0)
     print(
         f"steady-state: {fps:.1f} FPS over {n_timed} frames "
         f"(wall {wall:.2f}s incl. {t_drain*1e3:.0f}ms drain) | "
         f"latency p50 {p50:.1f}ms p95 {p95:.1f}ms kf-frame p95 {kf_p95:.1f}ms | "
-        f"{n_tracked}/{N_FRAMES} tracked, {n_kfs} KFs, {tsdf_n} TSDF voxels",
+        f"{n_tracked}/{N_FRAMES} tracked, {n_kfs} KFs, {tsdf_n} TSDF voxels | "
+        f"{n_recompiles} XLA compiles after warmup",
         file=sys.stderr,
     )
+    if n_recompiles:
+        for m in cc.since(t_bench_0)[:20]:
+            print(f"  post-warmup compile: {m}", file=sys.stderr)
     if slam.timings() is not None:
         print(slam.timings_summary(), file=sys.stderr)
 

@@ -163,6 +163,10 @@ def main():
         from pyslam_tpu.semantics.semantic_mapping import semantic_mapping_factory
 
         semantic_mapping = semantic_mapping_factory(slam.map)
+        # wire through the SLAM core: local mapping hands keyframes over and
+        # applies per-class information weights in its BA
+        # (kUseSemanticsInOptimization; reference optimizer_g2o.py:728-729)
+        slam.set_semantic_mapping(semantic_mapping)
 
     viewer = None
     if args.viewer:
@@ -174,7 +178,7 @@ def main():
     # ---------------------------------------------------------------- loop
     timer = TimerFps("frame")
     num_lost = 0
-    last_kf_count = 0
+
     profile_ctx = None
     if args.profile:
         from pyslam_tpu.utils.profiling import device_trace
@@ -182,26 +186,35 @@ def main():
         profile_ctx = device_trace(args.profile)
         profile_ctx.__enter__()
         Printer.cyan(f"profiling device trace -> {args.profile}")
+    carry = None   # (i, img, img_right) read ahead for the pipelined loop
     for i in range(len(dataset)):
-        img = dataset.getImage(i)
+        if carry is not None and carry[0] == i:
+            img, img_right_i = carry[1], carry[2]
+        else:
+            img, img_right_i = dataset.getImage(i), dataset.getImageRight(i)
         if img is None:
             break
         depth = dataset.getDepth(i)
+        # pipelined loop: hand the next stereo frame to track() so its
+        # extraction dispatch overlaps this frame's readback + host work
+        nxt = None
+        carry = None
+        if i + 1 < len(dataset):
+            n_img = dataset.getImage(i + 1)
+            n_right = dataset.getImageRight(i + 1)
+            carry = (i + 1, n_img, n_right)
+            if n_img is not None and n_right is not None:
+                nxt = {"img": n_img, "img_right": n_right,
+                       "frame_id": i + 1,
+                       "timestamp": dataset.getTimestamp(i + 1)}
         with timer:
             slam.track(
-                img, img_right=dataset.getImageRight(i), depth=depth,
+                img, img_right=img_right_i, depth=depth,
                 frame_id=i, timestamp=dataset.getTimestamp(i),
+                next_input=nxt,
             )
         if slam.state.name != "OK":
             num_lost += 1
-        # feed aux modules at keyframe granularity (the volumetric
-        # integrator is fed by Slam.track itself via offer_keyframe_data)
-        if slam.map.num_keyframes() > last_kf_count:
-            last_kf_count = slam.map.num_keyframes()
-            kf = slam.map.last_keyframe()
-            if semantic_mapping is not None:
-                semantic_mapping.add_keyframe(kf, img=img)
-                semantic_mapping.run_all()
         if i % 20 == 0:
             Printer.green(
                 f"frame {i}/{len(dataset)}: state={slam.state.name} "
@@ -230,7 +243,7 @@ def main():
                 elif req == "reset":
                     Printer.orange("[viewer] resetting SLAM system")
                     slam.reset()
-                    last_kf_count = 0
+
                     viewer.update(slam, force=True)
             if viewer.should_quit():
                 Printer.orange("[viewer] quit requested")

@@ -53,6 +53,10 @@ class Parameters:
     kNumMinInliersTrackLocalMapForNotPausingLocalMapping = 50
     kUseSearchFrameByProjection = True
     kMaxNumOfKeyframesInLocalMap = 80
+    # fixed TPU-path cap on local-map points per tracking dispatch (padded to
+    # exactly this shape every frame => one compile per session; larger local
+    # maps are subsampled by observation count — see tracking.track_local_map)
+    kTrackLocalMapMaxPoints = 8192
     kNumMinObsForKeyFrameDefault = 3
     kMaxReprojectionDistanceFrameNonStereo = 15  # px (ref :167)
     kMaxReprojectionDistanceMapRgbd = 3     # px (ref :169)
@@ -64,6 +68,11 @@ class Parameters:
     kMaxNumVisualOdometryPoints = 100       # ref :130
     kMaxNumStereoPointsOnNewKeyframe = 100  # ref :131
     kUseInterruptLocalMapping = True        # tracking may abort an in-flight LBA
+    # per-frame wall-clock budget for back-end host slices (step_async):
+    # bounds tracking latency while letting the back-end digest a keyframe
+    # within ~a frame like the reference's mapping thread
+    kLocalMappingHostBudgetMs = 8.0
+    kLogKeyFrameDecision = False            # per-frame KF-condition debug log
     kUseDepthEstimatorInFrontEnd = False    # MONOCULAR->RGBD upgrade (ref :415)
     kDepthEstimatorRemoveShadowPointsInFrontEnd = True  # ref :420
 
@@ -189,7 +198,11 @@ class Parameters:
     # (reference kVolumetricIntegrationDepthEstimatorType, defaults to the
     # native SGM stereo matcher; monocular runs use a learned estimator)
     kVolumetricIntegrationDepthEstimatorType = "sgbm"
-    kVolumetricIntegrationTableCapacity = 1 << 20  # voxel-hash table slots
+    # voxel-hash table slots: keep load factor <= ~0.25 (the insert claim
+    # loop probes at most INSERT_ROUNDS slots; a saturated table silently
+    # stops growing — the r2 bench capped at exactly 2^20 voxels this way).
+    # 40 B/slot => 2^22 slots = 168 MB HBM, cheap on a 16 GB chip.
+    kVolumetricIntegrationTableCapacity = 1 << 22
     kDoVolumetricIntegration = False        # reference master switch (ref :300)
     kVolumetricIntegrationType = "TSDF"     # ref :308 (VOXEL_GRID there)
     kVolumetricIntegrationVoxelLength = 0.015   # [m] ref :311

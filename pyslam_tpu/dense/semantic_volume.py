@@ -45,6 +45,12 @@ class SemanticTSDFVolume(TSDFVolume):
                            label_probs=None):
         """Integrate depth + per-pixel class labels (H,W) int; optionally
         (H,W,num_classes) probabilities for Bayesian fusion."""
+        if self.stride is None:
+            fx = float(np.asarray(K)[0, 0])
+            self.stride = int(
+                np.clip(self.voxel_size * fx / max(self.depth_trunc, 1e-6),
+                        1, 4)
+            )
         coords, sdf, w, col, valid = depth_to_voxel_updates(
             jnp.asarray(depth, jnp.float32),
             jnp.asarray(intensity, jnp.float32),

@@ -93,12 +93,18 @@ class TSDFVolume:
         sdf_trunc: float | None = None,
         depth_trunc: float | None = None,
         capacity: int | None = None,
-        stride: int = 2,
+        stride: int | None = None,
     ):
         self.voxel_size = voxel_size or Parameters.kVolumetricIntegrationVoxelSize
         self.sdf_trunc = sdf_trunc or Parameters.kVolumetricIntegrationSdfTrunc
         self.depth_trunc = depth_trunc or Parameters.kVolumetricIntegrationDepthTruncIndoor
         self.capacity = capacity or Parameters.kVolumetricIntegrationTableCapacity
+        # stride=None: auto-pick at the first integrate from intrinsics —
+        # ray spacing at the far clip is depth_trunc/fx * stride; keeping it
+        # <= voxel_size guarantees gap-free surface coverage everywhere,
+        # while the update batch (the cost driver on TPU: ~11 ns/element per
+        # random pass) shrinks stride^2-fold.  KITTI-class outdoor (fx=718,
+        # trunc 40 m, voxel 0.2) -> 3; small indoor scenes -> 1.
         self.stride = stride
         self.band_steps = max(
             2, int(round(self.sdf_trunc / self.voxel_size))
@@ -107,6 +113,12 @@ class TSDFVolume:
         self.num_integrated = 0
 
     def integrate(self, depth, intensity, Twc, K):
+        if self.stride is None:
+            fx = float(np.asarray(K)[0, 0])
+            self.stride = int(
+                np.clip(self.voxel_size * fx / max(self.depth_trunc, 1e-6),
+                        1, 4)
+            )
         coords, sdf, w, col, valid = depth_to_voxel_updates(
             jnp.asarray(depth, jnp.float32),
             jnp.asarray(intensity, jnp.float32),

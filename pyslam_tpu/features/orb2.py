@@ -65,8 +65,13 @@ def _pack_feature_meta(xy, level, angle, size, response, valid):
     )
 
 
-def featuredata_to_numpy(fd: FeatureData) -> FeatureData:
-    """Device FeatureData -> numpy FeatureData with exactly two transfers."""
+def featuredata_to_numpy(
+    fd: FeatureData, materialize_desc: bool = True
+) -> FeatureData:
+    """Device FeatureData -> numpy FeatureData with exactly two transfers
+    (one with ``materialize_desc=False``: the descriptor block — the largest
+    payload, ~N*D bytes — stays a device handle for consumers that defer or
+    skip the host copy, e.g. the fused tracking step)."""
     if isinstance(fd.xy, np.ndarray):
         return fd
     meta = np.asarray(
@@ -78,7 +83,7 @@ def featuredata_to_numpy(fd: FeatureData) -> FeatureData:
         angle=meta[:, 3].copy(),
         size=meta[:, 4].copy(),
         response=meta[:, 5].copy(),
-        desc=np.asarray(fd.desc),
+        desc=np.asarray(fd.desc) if materialize_desc else fd.desc,
         valid=meta[:, 6] > 0.5,
     )
 
@@ -115,6 +120,9 @@ def _extract_jit(
     per_cell: int,
     use_pallas: bool = False,
 ):
+    # cast on DEVICE: callers upload the image in its native dtype (uint8
+    # frames cross the host->TPU tunnel at 1 byte/px instead of 4)
+    img = img.astype(jnp.float32)
     quotas = level_quotas(num_features, num_levels, scale)
     pyr = image_ops.build_pyramid(img, num_levels, scale)
 
@@ -253,7 +261,7 @@ class ORB2Extractor:
 
     def __call__(self, img) -> FeatureData:
         """img: (H, W) grayscale uint8/float array -> FeatureData."""
-        img = jnp.asarray(img, jnp.float32)
+        img = jnp.asarray(img)   # native dtype; cast happens on device
         return _extract_jit(
             img,
             self.num_features,
@@ -265,18 +273,30 @@ class ORB2Extractor:
             self.use_pallas,
         )
 
+    def extract_stereo_deferred(self, img_l, img_r, bf: float,
+                                max_disp: float, max_distance: float,
+                                row_tol: float):
+        """Dispatch the fused stereo extraction WITHOUT any readback.
+
+        Returns device handles ``(meta (N,9), desc (N,D))``; the caller
+        harvests ``meta`` when host fields are actually needed — the
+        pipelined frame loop dispatches the next frame's extraction and the
+        current frame's tracking step before paying any tunnel round trip."""
+        return _extract_stereo_jit(
+            jnp.asarray(img_l), jnp.asarray(img_r),
+            jnp.float32(bf), jnp.float32(max_disp),
+            self.num_features, self.num_levels, self.scale_factor,
+            float(self.fast_threshold), self.cell, self.per_cell,
+            self.use_pallas, float(max_distance), float(row_tol))
+
     def extract_stereo(self, img_l, img_r, bf: float, max_disp: float,
                        max_distance: float, row_tol: float):
         """Fused left+right extraction + row stereo match: one dispatch,
         two readbacks.  Returns (numpy FeatureData, kps_ur, depths,
         device desc handle — kept for the fused tracking step so the
         descriptors never re-cross the tunnel)."""
-        meta, desc = _extract_stereo_jit(
-            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
-            jnp.float32(bf), jnp.float32(max_disp),
-            self.num_features, self.num_levels, self.scale_factor,
-            float(self.fast_threshold), self.cell, self.per_cell,
-            self.use_pallas, float(max_distance), float(row_tol))
+        meta, desc = self.extract_stereo_deferred(
+            img_l, img_r, bf, max_disp, max_distance, row_tol)
         meta = np.asarray(meta)
         fd = FeatureData(
             xy=np.ascontiguousarray(meta[:, 0:2]),
@@ -284,7 +304,7 @@ class ORB2Extractor:
             angle=meta[:, 3].copy(),
             size=meta[:, 4].copy(),
             response=meta[:, 5].copy(),
-            desc=np.asarray(desc),
+            desc=desc,   # device handle; Frame materializes lazily
             valid=meta[:, 6] > 0.5,
         )
         return fd, meta[:, 7].copy(), meta[:, 8].copy(), desc

@@ -49,7 +49,8 @@ def track_frame_fused(
     ratio_map: jnp.ndarray,
     min_prev_matches: int = 20,
 ):
-    """Returns (Tcw_opt, match_code (N,), inlier (N,), n_prev, n_inl1, n_inl2).
+    """Returns one packed f32 vector (2N+19,):
+    [Tcw_opt (16) | n_prev, n_inl1, n_inl2 | match_code (N) | inlier (N)].
 
     match_code per keypoint: row into prev arrays, or Mp + row into map
     arrays, or -1.
@@ -105,10 +106,31 @@ def track_frame_fused(
         keep_prev, kp_match_prev,
         jnp.where(use_map, Mp + kp_match_map, -1),
     ).astype(jnp.int32)
-    # pack per-kp outputs into ONE int32 buffer for a single readback
-    packed = jnp.stack([match_code, inl2.astype(jnp.int32)], axis=1)
-    counts = jnp.stack([n_prev, n_inl1, n_inl2]).astype(jnp.int32)
-    return T2, packed, counts
+    # per-kp matched descriptor distance (sum-abs over unpacked bits =
+    # Hamming): feeds the host's adaptive descriptor gate every frame
+    # without a
+    # descriptor transfer (slam_dynamic_config.update_descriptor_stats)
+    src_desc = jnp.where(
+        keep_prev[:, None],
+        prev_desc[jnp.clip(kp_match_prev, 0, Mp - 1)].astype(jnp.float32),
+        map_desc[jnp.clip(kp_match_map, 0, Mm - 1)].astype(jnp.float32),
+    )
+    mdist = jnp.where(
+        valid2,
+        jnp.sum(jnp.abs(src_desc - kp_des.astype(jnp.float32)), axis=1),
+        jnp.inf,
+    )
+    # pack EVERYTHING into one f32 buffer => a single device->host transfer
+    # (pose 16 | counts 3 | match_code N | inlier N | match_dist N); match
+    # codes < Mp+Mm << 2^24 are exact in f32
+    out = jnp.concatenate([
+        T2.reshape(-1).astype(jnp.float32),
+        jnp.stack([n_prev, n_inl1, n_inl2]).astype(jnp.float32),
+        match_code.astype(jnp.float32),
+        inl2.astype(jnp.float32),
+        mdist,
+    ])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("min_prev_matches",))
@@ -149,3 +171,38 @@ def track_frame_fused_indexed(
         radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
         min_prev_matches=min_prev_matches,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("min_prev_matches",))
+def track_frame_fused_meta(
+    # packed per-kp meta straight from the stereo extraction graph
+    # (x y level angle size resp valid ur depth — orb2 stereo layout) and
+    # the device descriptor handle: the frame's device outputs feed the
+    # tracking step WITHOUT ever visiting the host (pipelined frame loop)
+    meta,                      # (N,9) f32, device handle
+    kp_des,                    # (N,D), device handle
+    store_pos, store_desc, store_normal, store_min_d, store_max_d,
+    store_valid,
+    idx_prev, idx_map,
+    Tcw_pred, K, image_bounds, scale_factors, sigma2_table, bf,
+    radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
+    min_prev_matches: int = 20,
+):
+    """``track_frame_fused_indexed`` with frame inputs sliced from the
+    extraction meta IN-GRAPH, and the meta appended to the packed output:
+    [fused packed (3N+19) | meta (9N)] — extraction -> tracking chains as
+    pure device dataflow and the host pays ONE readback per frame."""
+    kps = meta[:, 0:2]
+    kp_level = meta[:, 2].astype(jnp.int32)
+    kp_valid = meta[:, 6] > 0.5
+    kp_ur = meta[:, 7]
+    packed = track_frame_fused_indexed(
+        kps, kp_level, kp_des, kp_valid, kp_ur,
+        store_pos, store_desc, store_normal, store_min_d, store_max_d,
+        store_valid,
+        idx_prev, idx_map,
+        Tcw_pred, K, image_bounds, scale_factors, sigma2_table, bf,
+        radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
+        min_prev_matches=min_prev_matches,
+    )
+    return jnp.concatenate([packed, meta.reshape(-1)])

@@ -72,6 +72,7 @@ class SemanticMappingDense:
         )
         self.num_classes = self.segmenter.num_classes
         self.queue: deque = deque()
+        self._pending_imgs: dict[int, np.ndarray] = {}
         # per-map-point class score accumulators (host dict -> lazily dense)
         self.point_scores: dict[int, np.ndarray] = {}
         # FEATURE_VECTOR mode: running mean of unit embeddings per point
@@ -109,7 +110,17 @@ class SemanticMappingDense:
                 )
                 self.point_embedding_counts[new_pid] = tot
 
+    def offer_keyframe_image(self, kid: int, img):
+        """Register the raw image for a just-created keyframe (frames do not
+        retain full images; ``Slam.track`` offers it at keyframe creation and
+        ``add_keyframe`` — called by local mapping when the keyframe is
+        digested — consumes it, mirroring the volumetric integrator's
+        snapshot pattern)."""
+        self._pending_imgs[kid] = img
+
     def add_keyframe(self, kf, img=None):
+        if img is None:
+            img = self._pending_imgs.pop(kf.kid, None)
         if img is None:
             img = getattr(kf, "img", None)
         if img is None:

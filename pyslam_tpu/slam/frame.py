@@ -36,6 +36,7 @@ class Frame:
         feature_tracker=None,
         frame_id: int | None = None,
         features: FeatureData | None = None,
+        defer_features: bool = False,
     ):
         if frame_id is None:
             self.id = Frame._id_counter
@@ -70,15 +71,29 @@ class Frame:
 
         stereo_ur = stereo_depth = None
         self._des_dev = None   # device descriptor handle (fused stereo path)
+        self._meta_dev = None  # device per-kp meta handle (deferred mode)
+        self._des_np = None    # host descriptor block (lazy, see des property)
         if features is None and img is not None and feature_tracker is not None:
             extractor = getattr(feature_tracker, "extractor", None)
             if (img_right is not None and camera is not None
                     and not camera.is_distorted
                     and hasattr(extractor, "extract_stereo")):
                 # fused path: left+right extraction + row match in ONE
-                # dispatch, two readbacks (orb2._extract_stereo_jit)
+                # dispatch (orb2._extract_stereo_jit)
                 max_disp = (camera.bf / max(Parameters.kMinDepth, 1e-3)
                             if camera.bf > 0 else 100.0)
+                if defer_features:
+                    # pipelined frame loop: dispatch only — host per-kp
+                    # fields are harvested later via ensure_host(), AFTER
+                    # the tracking step for this frame is already in flight
+                    (self._meta_dev,
+                     self._des_dev) = extractor.extract_stereo_deferred(
+                        img, img_right, bf=camera.bf, max_disp=max_disp,
+                        max_distance=(
+                            Parameters.kStereoMatchingMaxDescriptorDistance),
+                        row_tol=Parameters.kStereoMatchingRowTolerance)
+                    self._init_deferred(extractor.num_features)
+                    return
                 (features, stereo_ur, stereo_depth,
                  self._des_dev) = extractor.extract_stereo(
                     img, img_right, bf=camera.bf, max_disp=max_disp,
@@ -89,11 +104,13 @@ class Frame:
                 features = feature_tracker.detectAndCompute(img)
 
         if features is not None:
-            # ONE packed readback for all per-keypoint fields (features
-            # usually live on device right after extraction)
+            # ONE packed readback for all small per-keypoint fields; the
+            # descriptor block (the big payload) stays on device until a
+            # host consumer actually needs it — the fused tracking path
+            # never does, so non-keyframe frames skip that transfer entirely
             from pyslam_tpu.features.orb2 import featuredata_to_numpy
 
-            features = featuredata_to_numpy(features)
+            features = featuredata_to_numpy(features, materialize_desc=False)
             # undistort once at construction (reference frame.py:534-537)
             xy = np.asarray(features.xy, np.float32)
             if camera.is_distorted:
@@ -105,7 +122,10 @@ class Frame:
             self.sizes = np.asarray(features.size, np.float32)
             # keep native dtype: int8 unpacked bits (Hamming) or float32
             # (learned/SIFT descriptors, L2) — matchers dispatch on dtype
-            self.des = np.asarray(features.desc)
+            if isinstance(features.desc, np.ndarray):
+                self._des_np = features.desc
+            elif self._des_dev is None:
+                self._des_dev = features.desc
             self.valid = np.asarray(features.valid, bool)
         else:
             n = Parameters.kNumFeatures
@@ -114,7 +134,7 @@ class Frame:
             self.levels = np.zeros((n,), np.int32)
             self.angles = np.zeros((n,), np.float32)
             self.sizes = np.zeros((n,), np.float32)
-            self.des = np.zeros((n, 256), np.int8)
+            self._des_np = np.zeros((n, 256), np.int8)
             self.valid = np.zeros((n,), bool)
 
         n = len(self.kps)
@@ -133,6 +153,69 @@ class Frame:
             self.compute_stereo_matches(img_right)
         elif depth is not None:
             self.compute_stereo_from_rgbd(depth)
+
+    # ----------------------------------------------------- deferred harvest
+    def _init_deferred(self, n: int):
+        """Allocate the always-host fields; per-kp feature fields stay on
+        device until ensure_host()."""
+        self.num_kps = n
+        self.points = np.full((n,), -1, np.int64)
+        self.outliers = np.zeros((n,), bool)
+        self.kps = None
+        self.kps_raw = None
+        self.levels = None
+        self.angles = None
+        self.sizes = None
+        self.valid = None
+        self.kps_ur = None
+        self.depths = None
+
+    @property
+    def host_ready(self) -> bool:
+        return getattr(self, "kps", None) is not None
+
+    def ensure_host(self):
+        """Harvest the deferred extraction meta into host fields (one
+        (N,9)-f32 transfer); no-op when already materialized.  ``meta`` may
+        also be provided pre-fetched by the fused tracking step's packed
+        readback via ``adopt_meta``."""
+        if self.host_ready or getattr(self, "_meta_dev", None) is None:
+            return
+        self.adopt_meta(np.asarray(self._meta_dev))
+
+    def adopt_meta(self, meta: np.ndarray):
+        """Populate host per-kp fields from a packed meta block
+        (x y level angle size resp valid ur depth — orb2 stereo layout)."""
+        if self.kps is not None:
+            return
+        meta = np.asarray(meta, np.float32)
+        self.kps = np.ascontiguousarray(meta[:, 0:2])
+        self.kps_raw = self.kps          # deferred mode requires undistorted
+        self.levels = meta[:, 2].astype(np.int32)
+        self.angles = meta[:, 3].copy()
+        self.sizes = meta[:, 4].copy()
+        self.valid = meta[:, 6] > 0.5
+        self.kps_ur = meta[:, 7].copy()
+        self.depths = meta[:, 8].copy()
+        self._meta_dev = None            # drop the device handle
+
+    # --------------------------------------------------------- descriptors
+    @property
+    def des(self) -> np.ndarray:
+        """Host descriptor block, materialized from the device handle on
+        first access (non-keyframe frames on the fused path never pay the
+        ~N*D-byte tunnel transfer)."""
+        if self._des_np is None:
+            self._des_np = np.asarray(self._des_dev)
+        return self._des_np
+
+    @des.setter
+    def des(self, value):
+        self._des_np = np.asarray(value)
+
+    @property
+    def des_on_host(self) -> bool:
+        return self._des_np is not None
 
     # ---------------------------------------------------------------- pose
     @property
@@ -230,6 +313,10 @@ class KeyFrame(Frame):
     _kid_counter = 0
 
     def __init__(self, frame: Frame, kid: int | None = None):
+        # keyframes live in the map and feed host-side consumers (descriptor
+        # refresh, loop closing, serialization): materialize the descriptor
+        # block BEFORE dropping the device handle
+        _ = frame.des
         # share arrays with the source frame (no copy)
         self.__dict__.update(frame.__dict__)
         # the fused-stereo device descriptor handle is only needed while the

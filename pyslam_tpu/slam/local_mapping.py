@@ -24,6 +24,7 @@ same early-termination semantics as the reference's g2o abort flag.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 
 import jax.numpy as jnp
@@ -38,8 +39,11 @@ from pyslam_tpu.utils.logging import Printer
 from pyslam_tpu.utils.padding import (
     bucket_size,
     bucket_size_linear,
-    pad_bucket,
+    cap_select,
+    fixed_shapes,
+    pad_fixed,
     pad_rows,
+    pow2,
 )
 
 
@@ -69,6 +73,14 @@ class LocalMapping:
         self.loop_closing = None            # injected by Slam
         self.volumetric_integrator = None   # injected by Slam
         self.semantic_mapping = None        # injected by Slam
+        # session-fixed shape caps (TPU policy, see utils/padding.py)
+        n_feat = (
+            feature_tracker.num_features
+            if feature_tracker is not None
+            else Parameters.kNumFeatures
+        )
+        self._cap_kps = pow2(n_feat)
+        self._cap_map = pow2(Parameters.kTrackLocalMapMaxPoints)
 
     # --------------------------------------------------------------- queue
     def push_keyframe(self, kf: KeyFrame):
@@ -86,6 +98,17 @@ class LocalMapping:
             and self._lba is None
         )
 
+    def accepts_keyframes(self) -> bool:
+        """Whether a new keyframe can be digested promptly — the signal the
+        keyframe policy needs (reference ``local_mapping.is_idle`` on its
+        thread).  An in-flight LBA does NOT count as busy here: it is an
+        asynchronously polled device job that ``push_keyframe`` aborts at the
+        next chunk boundary, so it never delays accepting a keyframe the way
+        a busy mapping THREAD does in the reference.  Gating insertion on
+        LBA completion starves the map (LBA windows span multiple frames on
+        a remote accelerator)."""
+        return len(self.queue) == 0 and self._job is None
+
     def queue_size(self) -> int:
         return len(self.queue)
 
@@ -98,9 +121,30 @@ class LocalMapping:
         """Advance the back-end (call once per tracked frame).  Never blocks
         on the device: consumes all progress available WITHOUT waiting — host
         slices, plus LBA chunk transitions whose results are already ready —
-        then yields to tracking.  Returns True if any work was done."""
+        then yields to tracking.  Returns True if any work was done.
+
+        Host slices run under a WALL-CLOCK budget rather than one-per-frame:
+        the reference's mapping thread digests a keyframe within a frame or
+        two, and the keyframe policy (``need_new_keyframe``) relies on the
+        back-end going idle quickly — a fixed one-slice cadence kept
+        ``is_idle()`` false for ~4 frames after every keyframe, which
+        throttled keyframe insertion and starved the map (stereo/RGBD never
+        inserts while the back-end is busy, reference tracking.py:903-916).
+        The first slice always runs; further slices run while under budget,
+        so per-frame host latency stays bounded by budget + one slice.
+
+        On the CPU test backend the budget is counted in SLICES instead of
+        wall time (one full keyframe job per frame): wall-clock budgets make
+        keyframe cadence — and through it tracking quality — depend on
+        machine load, which made CPU tests flaky."""
         did = False
-        host_slices = 0
+        t0 = time.perf_counter()
+        budget = Parameters.kLocalMappingHostBudgetMs * 1e-3
+        from pyslam_tpu.utils.padding import fixed_shapes
+
+        wall_budget = fixed_shapes()   # accelerators: real-time bound
+        max_slices = 1 if budget <= 0 else self._N_SLICES
+        n_slices = 0
         for _ in range(64):   # progress budget (each iteration is bounded)
             if self._lba is not None:
                 if not self._lba_poll(block=False):
@@ -113,13 +157,14 @@ class LocalMapping:
                 self._job = self.queue.popleft()
                 self._job_stage = 0
                 self.kf_cur = self._job
-            # healthy cadence: one host slice per frame; with MORE keyframes
-            # queued behind the current job, catch up
-            max_host = 1 if not self.queue else 4 * self._N_SLICES
-            if host_slices >= max_host:
+            if did and (
+                (time.perf_counter() - t0 > budget)
+                if wall_budget
+                else (n_slices >= max_slices)
+            ):
                 break
             self._advance_slice()
-            host_slices += 1
+            n_slices += 1
             did = True
         return did
 
@@ -498,7 +543,10 @@ class LocalMapping:
         def fuse_into(target_kf: KeyFrame, cand_pids: np.ndarray):
             if len(cand_pids) == 0:
                 return
-            pos_p, valid_p = pad_bucket(st.pos[cand_pids])
+            cand_pids = cap_select(
+                cand_pids, self._cap_map, score=st.num_obs[cand_pids]
+            )
+            pos_p, valid_p = pad_fixed(st.pos[cand_pids], self._cap_map)
             m = len(valid_p)
             best_kp, _ = slam_matching.fuse_candidates(
                 jnp.asarray(pos_p, jnp.float32),
@@ -541,9 +589,16 @@ class LocalMapping:
             else:
                 jobs.append((kf2, cand2))
         if jobs:
-            M = bucket_size(max(len(c) for _, c in jobs))
+            # fixed shapes on TPU: candidate axis = keypoint budget (cand2 is
+            # a subset of kf's keypoints), neighbor axis = the covisibility
+            # cap — one compile per session instead of one per bucket crossing
+            if fixed_shapes():
+                M = self._cap_kps
+                Bp = max(10, len(jobs))
+            else:
+                M = bucket_size(max(len(c) for _, c in jobs))
+                Bp = bucket_size(len(jobs), minimum=2)
             B = len(jobs)
-            Bp = bucket_size(B, minimum=2)
             pad = Bp - B
 
             def stack_pt(field, fill=0.0):
@@ -635,13 +690,19 @@ class LocalMapping:
             Parameters.kUseSemanticsInOptimization
             and self.semantic_mapping is not None
         ):
-            kf0 = m.keyframes[all_kids[0]]
-            if getattr(kf0, "kps_sem", None) is not None:
+            # gate on ANY labeled keyframe in the window — the newest one is
+            # never labeled yet (segmentation runs after its LBA in the
+            # pipeline), so gating on it would disable weighting entirely
+            any_sem = any(
+                getattr(m.keyframes[k], "kps_sem", None) is not None
+                for k in all_kids
+            )
+            if any_sem:
                 sem_stack = np.stack([
                     (
                         k_f.kps_sem
                         if getattr(k_f, "kps_sem", None) is not None
-                        else np.full(len(kf0.kps_sem), -1, np.int64)
+                        else np.full(len(k_f.kps), -1, np.int64)
                     )
                     for k_f in (m.keyframes[k] for k in all_kids)
                 ])
@@ -733,16 +794,14 @@ class LocalMapping:
         # steady-state shape and compiles exactly once per iters-variant.
         # On CPU (the test suite) padded FLOPs are real costs and compiles
         # are cheap, so fine-grained buckets stay.
-        import jax
-
-        if jax.default_backend() == "cpu":
-            C = bucket_size_linear(len(all_kids), 8)
-            P = bucket_size(len(local_pids), 256)
-            O = bucket_size(len(cam_idx), 1024)
-        else:
+        if fixed_shapes():
             C = Parameters.kLBAMaxCameras
             P = Parameters.kLBAMaxPoints
             O = Parameters.kLBAMaxObservations
+        else:
+            C = bucket_size_linear(len(all_kids), 8)
+            P = bucket_size(len(local_pids), 256)
+            O = bucket_size(len(cam_idx), 1024)
         poses = pad_rows(poses, C)
         poses[len(all_kids):] = np.eye(4)
         fixed = pad_rows(fixed, C, fill=True)

@@ -43,7 +43,10 @@ class MapPointStorage:
 
     def _grow(self):
         old = self.__dict__.copy()
-        cap = self.capacity * 2
+        # 4x growth: every capacity step recompiles the store-indexed fused
+        # tracking graph, so take few, large steps (HBM cost is trivial —
+        # ~70 B/row)
+        cap = self.capacity * 4
         self._alloc(cap)
         self.ensure_desc_layout(old["desc"])  # keep adopted (dim, dtype)
         for name in ("pos", "desc", "normal", "min_dist", "max_dist", "valid",

@@ -83,6 +83,8 @@ class Slam:
         self.loop_closing = None
         self.volumetric_integrator = None
         self.GBA = None
+        self._prefetched = None   # (frame_id, deferred Frame) pipeline slot
+        self.semantic_mapping = None   # attach via set_semantic_mapping()
         if loop_detector_config is not None and Parameters.kUseLoopClosing:
             from pyslam_tpu.loop_closing.loop_closing import LoopClosing
 
@@ -96,7 +98,15 @@ class Slam:
             self.GBA = self.loop_closing.gba   # async post-loop GBA runner
 
     # ------------------------------------------------------------------ api
-    def track(self, img, img_right=None, depth=None, frame_id=0, timestamp=0.0):
+    def track(self, img, img_right=None, depth=None, frame_id=0,
+              timestamp=0.0, next_input: dict | None = None):
+        """Track one frame.  ``next_input`` (optional) pipelines the frame
+        loop: a dict ``{img, img_right, frame_id, timestamp}`` for the NEXT
+        frame whose feature extraction is dispatched right after this
+        frame's tracking step — extraction N+1 then computes on-device while
+        the host finishes frame N (readback, keyframe decision, back-end
+        slices).  Warm per-frame wall time drops to ~max(host work, device
+        work) + one tunnel round trip."""
         if depth is None and self.depth_estimator is not None:
             # per-frame estimated depth (reference main_slam.py:232-245)
             depth, _ = self.depth_estimator.infer(img, img_right=img_right)
@@ -105,25 +115,57 @@ class Slam:
         # then sees the refined map — the same freshness the reference gets
         # from its mapping thread applying results mid-frame
         self.local_mapping.harvest()
+        # consume a prefetched frame (extraction already in flight)
+        pre = None
+        if self._prefetched is not None:
+            pf_id, pf_frame = self._prefetched
+            self._prefetched = None
+            if pf_id == frame_id:
+                pre = pf_frame
+        fired = []
+        if next_input is not None and next_input.get("img_right") is not None:
+            from pyslam_tpu.slam.frame import Frame
+
+            def _prefetch():
+                fired.append(True)
+                ni = next_input
+                f = Frame(
+                    self.camera, ni["img"], img_right=ni.get("img_right"),
+                    timestamp=ni.get("timestamp", 0.0),
+                    feature_tracker=self.feature_tracker,
+                    frame_id=ni["frame_id"], defer_features=True,
+                )
+                self._prefetched = (ni["frame_id"], f)
+
+            self.tracking.on_fused_dispatched = _prefetch
         frame = self.tracking.track(
             img, img_right=img_right, depth=depth,
-            frame_id=frame_id, timestamp=timestamp,
+            frame_id=frame_id, timestamp=timestamp, frame=pre,
         )
+        self.tracking.on_fused_dispatched = None
+        if next_input is not None and next_input.get("img_right") is not None \
+                and not fired:
+            # fused path didn't run this frame: prefetch now so the next
+            # frame still overlaps with the back-end work below
+            _prefetch()
         if self.tracking.reset_requested:
             Printer.yellow("Slam: resetting session (early tracking loss)")
             self.reset()
         # a keyframe created this frame: snapshot its raw images for the
-        # dense integrator (frames don't retain full images; the integrator
-        # consumes the snapshot when local mapping hands the KF over)
+        # dense integrator and semantic mapper (frames don't retain full
+        # images; both consume the snapshot when local mapping hands the
+        # keyframe over)
         vi = self.volumetric_integrator
-        if vi is not None:
-            kf = self.tracking.kf_ref
-            if kf is not None and kf.id == frame_id:
+        kf = self.tracking.kf_ref
+        if kf is not None and kf.id == frame_id:
+            if vi is not None:
                 vi.offer_keyframe_data(
                     kf, intensity=img, img_right=img_right,
                     depth=None if depth is None
                     else np.where(np.asarray(depth) > 0, depth, 0.0),
                 )
+            if self.semantic_mapping is not None:
+                self.semantic_mapping.offer_keyframe_image(kf.kid, img)
         # advance the back-end by one bounded slice: host stages interleave
         # one-per-frame, LBA chunks run on the device while tracking
         # continues (reference overlap: local mapping thread + abort flag)
@@ -132,6 +174,8 @@ class Slam:
             self.loop_closing.step()
         if vi is not None:
             vi.step()   # at most one snapshot integration dispatch per frame
+        if self.semantic_mapping is not None:
+            self.semantic_mapping.step()   # one segmentation per frame max
         return frame
 
     def finish(self):
@@ -142,6 +186,8 @@ class Slam:
             self.loop_closing.finish()
         if self.volumetric_integrator is not None:
             self.volumetric_integrator.run_all()
+        if self.semantic_mapping is not None:
+            self.semantic_mapping.run_all()
 
     @property
     def state(self) -> TrackingState:
@@ -170,8 +216,17 @@ class Slam:
         self.volumetric_integrator = integrator
         self.local_mapping.volumetric_integrator = integrator
 
+    def set_semantic_mapping(self, semantic_mapping):
+        """Attach semantic mapping: local mapping hands each digested
+        keyframe over AND uses per-class information weights in its BA
+        (``kUseSemanticsInOptimization``) — the reference wires this in
+        ``slam.py`` construction + ``optimizer_g2o.py:728-729``."""
+        self.semantic_mapping = semantic_mapping
+        self.local_mapping.semantic_mapping = semantic_mapping
+
     def reset(self):
         self.tracking.reset_requested = False
+        self._prefetched = None
         self.map = Map()
         self.local_mapping.map = self.map
         self.local_mapping.queue.clear()

@@ -31,7 +31,12 @@ from pyslam_tpu.slam.initializer import Initializer
 from pyslam_tpu.slam.map import Map
 from pyslam_tpu.slam.motion_model import MotionModel
 from pyslam_tpu.utils.logging import Printer
-from pyslam_tpu.utils.padding import pad_bucket, pad_rows, bucket_size
+from pyslam_tpu.utils.padding import (
+    cap_select,
+    pad_fixed,
+    pad_rows,
+    pow2,
+)
 
 
 class TrackingState(enum.Enum):
@@ -102,6 +107,10 @@ class Tracking:
         self.last_kf_frame_id = -1
         self.relocalizer = None  # injected by Slam when loop detection is on
         self.reset_requested = False
+        # pipelined frame loop: invoked once right after the fused tracking
+        # dispatch, BEFORE its readback — Slam uses it to dispatch the NEXT
+        # frame's extraction so it overlaps this frame's readback + host work
+        self.on_fused_dispatched = None
 
         # per-stage moving-average timers (reference tracking.py:220-228
         # named timers; surfaced via Slam.timings / SlamPlotDrawer)
@@ -122,6 +131,12 @@ class Tracking:
         self._ib = np.array(
             [camera.u_min, camera.u_max, camera.v_min, camera.v_max], np.float32
         )
+        # session-fixed shape caps (TPU policy: one compile per graph for the
+        # life of the run — see utils/padding.py): per-frame observation /
+        # prev-point axes are bounded by the keypoint budget; the local-map
+        # axis is capped and subsampled by observation count when exceeded
+        self._cap_kps = pow2(feature_tracker.num_features)
+        self._cap_map = pow2(Parameters.kTrackLocalMapMaxPoints)
 
     @property
     def desc_dist_th(self) -> float:
@@ -133,9 +148,9 @@ class Tracking:
     def _pose_optimize(self, frame: Frame, pids: np.ndarray, kp_idxs: np.ndarray):
         """Motion-only LM on frame's current assignment; updates outliers."""
         st = self.map.points
-        # bucket-pad the observation set: one jit specialization per
-        # power-of-two size instead of one per frame
-        pts3d, valid = pad_bucket(st.pos[pids])
+        # pad the observation set to the session keypoint cap: ONE jit
+        # specialization for the life of the run (obs count <= num kps)
+        pts3d, valid = pad_fixed(st.pos[pids], self._cap_kps)
         m = len(valid)
         uv = pad_rows(frame.kps[kp_idxs], m)
         ur = pad_rows(frame.kps_ur[kp_idxs], m, fill=-1.0)
@@ -181,7 +196,7 @@ class Tracking:
         if len(pids_prev) == 0:
             return 0
         st = self.map.points
-        pos_p, valid_p = pad_bucket(st.pos[pids_prev])
+        pos_p, valid_p = pad_fixed(st.pos[pids_prev], self._cap_kps)
         m = len(valid_p)
 
         for radius in (
@@ -235,13 +250,15 @@ class Tracking:
         if Parameters.kCheckOrientation and len(i_kf) > 0:
             from pyslam_tpu.ops import matching as mm
 
+            # fixed-shape dispatch: matched count <= keypoint budget, so pad
+            # to the session cap (one compile per session on TPU)
+            ang_a, ok = pad_fixed(kf.angles[i_kf], self._cap_kps)
+            ang_b = pad_rows(f_cur.angles[i_cur], len(ok))
             keep = np.asarray(
                 mm.rotation_histogram_filter(
-                    jnp.asarray(kf.angles[i_kf]),
-                    jnp.asarray(f_cur.angles[i_cur]),
-                    jnp.ones((len(i_kf),), bool),
+                    jnp.asarray(ang_a), jnp.asarray(ang_b), jnp.asarray(ok),
                 )
-            )
+            )[: len(i_kf)]
             i_kf, i_cur = i_kf[keep], i_cur[keep]
         pids = self.map.resolve_replacements(kf.points[i_kf])
         alive = (pids >= 0) & self.map.points.valid[np.clip(pids, 0, None)]
@@ -259,10 +276,13 @@ class Tracking:
         if len(local_pids) == 0:
             return 0
         st = self.map.points
+        local_pids = cap_select(
+            local_pids, self._cap_map, score=st.num_obs[local_pids]
+        )
         # count visible stats
         st.n_visible[local_pids] += 1
 
-        pos_p, valid_p = pad_bucket(st.pos[local_pids])
+        pos_p, valid_p = pad_fixed(st.pos[local_pids], self._cap_map)
         m = len(valid_p)
         idx_pt, kp_match, _ = slam_matching.search_by_projection(
             jnp.asarray(pos_p, jnp.float32),
@@ -328,9 +348,15 @@ class Tracking:
         """One-dispatch tracking step (ops/fused_tracking.py): projection
         search vs prev + pose opt #1 + local-map search + pose opt #2 in a
         single jitted graph — ~8 device round trips collapse to 1 dispatch +
-        2 readbacks.  Returns (n_prev_matches, n_inl1, n_inl2) or None when
-        prerequisites are missing (caller falls back to the legacy path)."""
-        from pyslam_tpu.ops.fused_tracking import track_frame_fused_indexed
+        1 readback.  A deferred-extraction frame (pipelined loop) feeds its
+        device meta/descriptor handles straight into the graph; its host
+        fields are unpacked from the SAME readback.  Returns
+        (n_prev_matches, n_inl1, n_inl2) or None when prerequisites are
+        missing (caller falls back to the legacy path)."""
+        from pyslam_tpu.ops.fused_tracking import (
+            track_frame_fused_indexed,
+            track_frame_fused_meta,
+        )
 
         st = self.map.points
         pids_prev, _ = self._assigned(f_prev)
@@ -344,22 +370,22 @@ class Tracking:
         local_pids = self.map.get_local_map_points(kids)
         if len(pids_prev) < 10 or len(local_pids) == 0:
             return None
+        local_pids = cap_select(
+            local_pids, self._cap_map, score=st.num_obs[local_pids]
+        )
         st.n_visible[local_pids] += 1
 
-        idx_prev, _ = pad_bucket(pids_prev.astype(np.int32), fill=-1)
+        idx_prev, _ = pad_fixed(
+            pids_prev.astype(np.int32), self._cap_kps, fill=-1
+        )
         mp = len(idx_prev)
-        idx_map, _ = pad_bucket(local_pids.astype(np.int32), fill=-1)
+        idx_map, _ = pad_fixed(
+            local_pids.astype(np.int32), self._cap_map, fill=-1
+        )
         mm = len(idx_map)
         store = self._device_store(st)
 
-        T2, packed, counts = track_frame_fused_indexed(
-            jnp.asarray(f_cur.kps), jnp.asarray(f_cur.levels),
-            getattr(f_cur, "_des_dev", None)
-            if getattr(f_cur, "_des_dev", None) is not None
-            else jnp.asarray(f_cur.des),
-            jnp.asarray(f_cur.valid),
-            jnp.asarray(f_cur.kps_ur),
-            *store,
+        shared_args = (
             jnp.asarray(idx_prev), jnp.asarray(idx_map),
             jnp.asarray(f_cur.Tcw, jnp.float32),
             jnp.asarray(self.camera.K, jnp.float32),
@@ -372,16 +398,49 @@ class Tracking:
             jnp.asarray(Parameters.kMaxReprojectionDistanceMap, jnp.float32),
             jnp.asarray(self.desc_dist_th, jnp.float32),
             jnp.asarray(Parameters.kMatchRatioTestMap, jnp.float32),
-            min_prev_matches=Parameters.kMinNumMatchedFeaturesSearchFrameByProjection,
         )
-        T2 = np.asarray(T2)
-        packed = np.asarray(packed)
-        n_prev, n_inl1, n_inl2 = (int(x) for x in np.asarray(counts))
+        min_prev = Parameters.kMinNumMatchedFeaturesSearchFrameByProjection
+        deferred = (
+            getattr(f_cur, "_meta_dev", None) is not None
+            and not f_cur.host_ready
+        )
+        if deferred:
+            N = f_cur.num_kps
+            out_dev = track_frame_fused_meta(
+                f_cur._meta_dev, f_cur._des_dev, *store, *shared_args,
+                min_prev_matches=min_prev,
+            )
+        else:
+            N = len(f_cur.kps)
+            out_dev = track_frame_fused_indexed(
+                jnp.asarray(f_cur.kps), jnp.asarray(f_cur.levels),
+                f_cur._des_dev
+                if f_cur._des_dev is not None
+                else jnp.asarray(f_cur.des),
+                jnp.asarray(f_cur.valid),
+                jnp.asarray(f_cur.kps_ur),
+                *store, *shared_args,
+                min_prev_matches=min_prev,
+            )
+        # pipelined loop: enqueue the next frame's extraction behind this
+        # dispatch so it computes while the host handles this readback
+        if self.on_fused_dispatched is not None:
+            cb, self.on_fused_dispatched = self.on_fused_dispatched, None
+            cb()
+        # ONE device->host transfer for the whole tracking step (deferred
+        # mode: the frame's extraction meta rides along in the same buffer)
+        out = np.asarray(out_dev)
+        if deferred:
+            f_cur.adopt_meta(out[3 * N + 19:].reshape(N, 9))
+            out = out[: 3 * N + 19]
+        T2 = out[:16].reshape(4, 4).astype(np.float64)
+        n_prev, n_inl1, n_inl2 = (int(x) for x in out[16:19])
         if not np.isfinite(T2).all():
             return None
 
-        match_code = packed[:, 0]
-        inlier = packed[:, 1] > 0
+        match_code = out[19 : 19 + N].astype(np.int64)
+        inlier = out[19 + N : 19 + 2 * N] > 0
+        match_dist = out[19 + 2 * N : 19 + 3 * N]
         f_cur.points[:] = -1
         from_prev = (match_code >= 0) & (match_code < mp)
         from_map = match_code >= mp
@@ -399,10 +458,10 @@ class Tracking:
 
         good_pids, good_kps = self._assigned(f_cur)
         st.n_found[good_pids] += 1
-        if self.dyn_config is not None and len(good_pids) >= 10:
-            from pyslam_tpu.slam.slam_dynamic_config import hamming_rows
-
-            d = hamming_rows(st.desc[good_pids], f_cur.des[good_kps])
+        # adapt the descriptor gate to this frame's accepted matches using
+        # the match distances computed IN-GRAPH (no descriptor transfer)
+        if self.dyn_config is not None:
+            d = match_dist[assigned & inlier]
             self.dyn_config.update_descriptor_stats(d)
         return n_prev, n_inl1, n_inl2
 
@@ -468,21 +527,35 @@ class Tracking:
             self.num_inliers < ref_matches * th_ratio or need_close
         ) and self.num_inliers > Parameters.kNumMinPointsForNewKf
 
+        if Parameters.kLogKeyFrameDecision:
+            Printer.gray(
+                f"[kf?] f={f_cur.id} inl={self.num_inliers} "
+                f"ref={ref_matches} close(t/nt)={n_tracked_close}/"
+                f"{n_nontracked_close} need_close={need_close} "
+                f"1a={cond1a} 1b={cond1b}(idle={idle}) 1c={cond1c} "
+                f"2={cond2} since={frames_since_kf}"
+            )
         if not ((cond1a or cond1b or cond1c) and cond2):
             return False
         if idle:
             return True
-        # back-end busy: interrupt its LBA (reference tracking.py:906-907);
-        # stereo/RGBD may insert with a short queue, monocular waits for the
-        # interrupt to make the back-end idle (ORB-SLAM NeedNewKeyFrame)
+        # back-end busy: interrupt its LBA and insert anyway while the queue
+        # is short (reference tracking.py:906-916, ORB-SLAM NeedNewKeyFrame:
+        # stereo/RGBD keyframes must NOT wait for the mapping thread — on a
+        # fast-moving stream the map ages out of view within 2-3 frames and
+        # tracking collapses before the back-end goes idle.  An earlier
+        # design that made stereo wait for idleness lost tracking by frame 9
+        # on the TPU bench for exactly this reason; keyframe cadence is
+        # governed by the cond1/cond2 thresholds, never by back-end
+        # busyness.)
         if self.local_mapping is not None:
             self.local_mapping.interrupt_optimization()
-            if is_stereo:
-                return self.local_mapping.queue_size() < 3
+            return self.local_mapping.queue_size() < 3
         return False
 
     def _local_mapping_idle(self) -> bool:
-        return self.local_mapping is None or self.local_mapping.is_idle()
+        lm = self.local_mapping
+        return lm is None or lm.accepts_keyframes()
 
     def create_new_keyframe(self, f_cur: Frame) -> KeyFrame:
         kf = KeyFrame(f_cur)
@@ -515,13 +588,34 @@ class Tracking:
         return kf
 
     # ----------------------------------------------------------------- track
-    def track(self, img, img_right=None, depth=None, frame_id=0, timestamp=0.0) -> Frame:
+    def track(self, img, img_right=None, depth=None, frame_id=0,
+              timestamp=0.0, frame: Frame | None = None) -> Frame:
         with self.timings.stage("frame"):   # extraction + stereo match
-            f_cur = Frame(
-                self.camera, img, img_right=img_right, depth=depth,
-                timestamp=timestamp, feature_tracker=self.tracker,
-                frame_id=frame_id,
-            )
+            if frame is not None:
+                f_cur = frame               # prefetched (pipelined loop)
+            else:
+                # defer the extraction readback exactly when the fused
+                # tracking step will consume the device handles directly
+                # (its packed readback then carries the meta, so the frame
+                # pays ZERO extra transfers)
+                defer = (
+                    self.state == TrackingState.OK
+                    and Parameters.kUseFusedTrackingStep
+                    and Parameters.kUseSearchFrameByProjection
+                    and Parameters.kUseMotionModel
+                    and self.motion_model.is_ok
+                    and img_right is not None
+                )
+                f_cur = Frame(
+                    self.camera, img, img_right=img_right, depth=depth,
+                    timestamp=timestamp, feature_tracker=self.tracker,
+                    frame_id=frame_id, defer_features=defer,
+                )
+
+        if self.state != TrackingState.OK:
+            # only the OK fused path consumes device meta handles directly;
+            # every other state needs host keypoint fields now
+            f_cur.ensure_host()
 
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
@@ -577,6 +671,7 @@ class Tracking:
                             f_cur.update_pose(T_pred)
 
                 if not fused_ok:
+                    f_cur.ensure_host()   # legacy path needs host fields
                     # 2. frame-to-frame tracking
                     n_matched = 0
                     with self.timings.stage("track_prev"):

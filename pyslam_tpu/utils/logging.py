@@ -56,6 +56,10 @@ class Printer:
         Printer._p(Colors.CYAN, *args)
 
     @staticmethod
+    def gray(*args):
+        Printer._p(Colors.CYAN, *args)
+
+    @staticmethod
     def orange(*args):
         Printer._p(Colors.YELLOW, *args)
 

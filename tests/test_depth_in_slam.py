@@ -117,6 +117,19 @@ def test_stereo_tsdf_through_integrator_depth_provider():
     assert snap.depth is not None or (
         snap.intensity is not None and snap.img_right is not None
     )
+    # the provider's re-estimated depth itself must be sane (positive finite
+    # values over a meaningful share of the image)
+    d_est, _ = integ._depth_provider.infer(
+        snap.intensity, img_right=snap.img_right
+    )
+    d_est = np.asarray(d_est)
+    assert np.isfinite(d_est[d_est > 0]).all()
+    assert (d_est > 0).mean() > 0.1, "re-estimated depth mostly invalid"
     n_before = integ.volume.num_voxels()
+    # prove rebuild actually REPLAYS the snapshots: empty the volume first,
+    # then rebuild must repopulate it (a silent no-op rebuild would leave the
+    # pre-reset voxels and pass a >-than check by accident)
+    integ.volume.reset()
+    assert integ.volume.num_voxels() == 0
     integ.rebuild(slam.map)
     assert integ.volume.num_voxels() > 0.5 * n_before

@@ -189,3 +189,95 @@ def test_semantic_ba_weighting(rng):
     assert np.isclose(ratio.max(), 1000.0, rtol=1e-3)
     assert (np.isclose(ratio, 1.0) | np.isclose(ratio, 1000.0, rtol=1e-3)).all()
     assert np.isclose(ratio, 1000.0, rtol=1e-3).any()
+
+
+def test_semantics_through_public_api():
+    """Semantics wired through ``Slam.set_semantic_mapping`` (not attribute
+    injection): ``Slam.track`` offers each keyframe's image, local mapping
+    hands the keyframe to the mapper (kps_sem populated), and
+    ``kUseSemanticsInOptimization`` changes the optimized trajectory —
+    reference wiring: main_slam.py semantics + optimizer_g2o.py:728-729."""
+    from pyslam_tpu.config_parameters import Parameters
+    from pyslam_tpu.features.tracker import FeatureTrackerConfig
+    from pyslam_tpu.io.dataset import SyntheticDataset
+    from pyslam_tpu.io.dataset_types import SensorType
+    from pyslam_tpu.semantics.semantic_mapping import (
+        SemanticMappingConfig,
+        SemanticMappingDense,
+    )
+    from pyslam_tpu.semantics.semantic_segmentation import (
+        SemanticSegmentationBase,
+    )
+    from pyslam_tpu.slam.camera import PinholeCamera
+    from pyslam_tpu.slam.slam import Slam
+
+    class HalfVegetationSegmenter(SemanticSegmentationBase):
+        """Left image half -> cityscapes 'vegetation' (weight 0.001)."""
+
+        num_classes = 19
+
+        def infer(self, img):
+            img = np.asarray(img)
+            labels = np.zeros(img.shape[:2], np.int64)
+            labels[:, : img.shape[1] // 2] = 8
+            return {"labels": labels}
+
+    def run(use_sem: bool):
+        ds = SyntheticDataset(
+            num_frames=12, sensor_type=SensorType.STEREO, trajectory="line",
+            step=0.4,
+        )
+        cam = PinholeCamera(
+            ds.w, ds.h, ds.fx, ds.fy, ds.cx, ds.cy,
+            fps=ds.fps, bf=ds.fx * ds.baseline, depth_threshold=20.0,
+        )
+        slam = Slam(
+            cam, FeatureTrackerConfig(num_features=400, num_levels=4),
+            sensor_type=SensorType.STEREO,
+        )
+        sem = SemanticMappingDense(
+            slam.map,
+            SemanticMappingConfig(num_classes=19, dataset="cityscapes"),
+            segmenter=HalfVegetationSegmenter(),
+        )
+        slam.set_semantic_mapping(sem)           # the public API under test
+        old = Parameters.kUseSemanticsInOptimization
+        Parameters.kUseSemanticsInOptimization = use_sem
+        try:
+            for i in range(len(ds)):
+                slam.track(
+                    ds.getImage(i), img_right=ds.getImageRight(i),
+                    frame_id=i, timestamp=ds.getTimestamp(i),
+                )
+                slam.local_mapping.finish()      # deterministic A/B
+                sem.run_all()
+            slam.finish()
+        finally:
+            Parameters.kUseSemanticsInOptimization = old
+        return slam
+
+    slam_a = run(False)
+    slam_b = run(True)
+
+    # handoff worked end-to-end: keyframes got per-keypoint labels with both
+    # classes present (segmenter splits the image)
+    labeled = [
+        k for k in slam_b.map.keyframes.values()
+        if getattr(k, "kps_sem", None) is not None
+    ]
+    assert len(labeled) >= 3, "local mapping never handed keyframes over"
+    sems = np.concatenate([k.kps_sem for k in labeled])
+    assert (sems == 8).any() and (sems == 0).any()
+
+    # the BA weighting changed the optimized keyframe trajectory (keyframe
+    # ids are globally monotonic across Slam instances — align by position)
+    order_a = [slam_a.map.keyframes[k] for k in slam_a.map.keyframe_order]
+    order_b = [slam_b.map.keyframes[k] for k in slam_b.map.keyframe_order]
+    n = min(len(order_a), len(order_b))
+    assert n >= 3
+    deltas = [
+        np.abs(order_a[i].Tcw - order_b[i].Tcw).max() for i in range(n)
+    ]
+    assert max(deltas) > 1e-7, (
+        "kUseSemanticsInOptimization had no effect through the public API"
+    )
