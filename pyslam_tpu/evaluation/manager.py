@@ -83,7 +83,56 @@ class SlamEvaluationManager:
         self.write_reports()
         return self.results
 
-    def _single_run(self, ds_settings, preset_name, tracker_cfg, run) -> EvalRunResult:
+    def run_distributed(self, devices=None):
+        """One-sequence-per-device batch evaluation — the multi-chip mapping
+        of the reference's subprocess grid (``slam_evaluation_manager.py:314``
+        runs N independent headless processes; SURVEY §2.13: embarrassingly
+        parallel, host aggregation, no collectives).
+
+        Each grid cell's whole SLAM run is pinned to one mesh device via
+        ``jax.default_device``; cells run on a thread per device, so device
+        programs execute concurrently while host bookkeeping interleaves
+        under the GIL.  Runs use the deterministic per-frame back-end drain
+        (``deterministic=True``), so results are bit-identical to ``run()``
+        regardless of scheduling.  Presets are processed in sequential
+        groups: ``Slam.__init__`` seeds preset-dependent ``Parameters``
+        gates, which must not race across concurrently-running cells."""
+        import jax
+        from concurrent.futures import ThreadPoolExecutor
+
+        devices = list(devices if devices is not None else jax.devices())
+
+        def worker(args):
+            idx, ds_settings, preset_name, tracker_cfg, run = args
+            dev = devices[idx % len(devices)]
+            with jax.default_device(dev):
+                return self._single_run(
+                    ds_settings, preset_name, tracker_cfg, run,
+                    deterministic=True,
+                )
+
+        for preset_name, tracker_cfg in self.config.presets.items():
+            cells = [
+                (i, ds, preset_name, tracker_cfg, run)
+                for i, (ds, run) in enumerate(
+                    (ds, run)
+                    for ds in self.config.datasets
+                    for run in range(self.config.runs_per_dataset)
+                )
+            ]
+            with ThreadPoolExecutor(max_workers=len(devices)) as ex:
+                batch = list(ex.map(worker, cells))
+            self.results.extend(batch)
+            for r in batch:
+                Printer.green(
+                    f"[eval-dist] {r.dataset}/{r.preset} run {r.run}: "
+                    f"ate={r.ate_rmse:.4f} lost={r.percent_lost:.2f}%"
+                )
+        self.write_reports()
+        return self.results
+
+    def _single_run(self, ds_settings, preset_name, tracker_cfg, run,
+                    deterministic: bool = False) -> EvalRunResult:
         t0 = time.time()
         dataset = dataset_factory(ds_settings)
         gt = groundtruth_factory(
@@ -108,6 +157,10 @@ class SlamEvaluationManager:
                 depth=dataset.getDepth(i), frame_id=i,
                 timestamp=dataset.getTimestamp(i),
             )
+            if deterministic:
+                # drain the async back-end every frame: removes scheduling
+                # nondeterminism (LBA chunk timing) so distributed == serial
+                slam.local_mapping.finish()
             if slam.state.name != "OK":
                 num_lost += 1
         ts, poses = slam.get_final_trajectory()

@@ -167,14 +167,18 @@ def main():
         imr = jnp.asarray(img_r, jnp.float32)
 
         def run_sgm():
-            return sgm_disparity(iml, imr, max_disp=128)
+            # 64 = the production SgbmDepthEstimator default (max_disp=128
+            # crashes the remote compile helper — program too large)
+            return sgm_disparity(iml, imr, max_disp=64)
 
         single, amort = _timeit(run_sgm, lambda o: jax.block_until_ready(o),
                                 reps=5)
-        results["sgm_depth_128disp_ms"] = {
+        results["sgm_depth_64disp_ms"] = {
             "single": single, "amortized": amort}
     except Exception as e:   # pragma: no cover - informative fallback
-        results["sgm_depth_128disp_ms"] = {"error": str(e)[:120]}
+        results["sgm_depth_64disp_ms"] = {"error": str(e)[:120]}
+    print(f"## sgm_depth_64disp_ms: {json.dumps(results['sgm_depth_64disp_ms'])}",
+          file=sys.stderr, flush=True)
 
     # 5. pose optimization alone (legacy path cost reference)
     from pyslam_tpu.ops import optim
@@ -254,6 +258,7 @@ def main():
                 jnp.float32(388.0),
                 jnp.asarray(np.array([0, W, 0, H], np.float32)),
                 jnp.asarray((1.2 ** np.arange(8)).astype(np.float32)),
+                jnp.asarray((1.2 ** (2 * np.arange(8))).astype(np.float32)),
                 jnp.float32(50.0),
             )[0]
 
