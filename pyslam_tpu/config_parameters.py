@@ -198,6 +198,11 @@ class Parameters:
     # (reference kVolumetricIntegrationDepthEstimatorType, defaults to the
     # native SGM stereo matcher; monocular runs use a learned estimator)
     kVolumetricIntegrationDepthEstimatorType = "sgbm"
+    # SGM internal resolution divisor for integration-time depth: 2 runs the
+    # matcher at half resolution / half disparity range (same metric depth
+    # range since disparity scales with fx) for ~8x less device work —
+    # depth error stays well under the voxel quantization at 0.1-0.2 m
+    kVolumetricIntegrationDepthSGMDownscale = 2
     # voxel-hash table slots: keep load factor <= ~0.25 (the insert claim
     # loop probes at most INSERT_ROUNDS slots; a saturated table silently
     # stops growing — the r2 bench capped at exactly 2^20 voxels this way).

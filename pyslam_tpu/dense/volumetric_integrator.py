@@ -211,11 +211,15 @@ def volumetric_integrator_factory(
             depth_estimator_factory,
         )
 
-        integ.set_depth_provider(
-            depth_estimator_factory(
-                Parameters.kVolumetricIntegrationDepthEstimatorType,
-                camera=camera,
+        est_type = Parameters.kVolumetricIntegrationDepthEstimatorType
+        kw_extra = {}
+        if str(est_type).lower() in ("sgbm", "raft_stereo", "crestereo",
+                                     "crestereo_megengine"):
+            kw_extra["downscale"] = (
+                Parameters.kVolumetricIntegrationDepthSGMDownscale
             )
+        integ.set_depth_provider(
+            depth_estimator_factory(est_type, camera=camera, **kw_extra)
         )
         return integ
     if integrator_type in (

@@ -62,19 +62,48 @@ class DepthEstimator:
 
 
 class DepthEstimatorSgbm(DepthEstimator):
-    def __init__(self, camera=None, max_disparity: int = 64, **kw):
+    """Semi-global stereo matcher (reference DEPTH_SGBM over cv2.StereoSGBM).
+
+    ``downscale=s`` runs the whole SGM at 1/s resolution with max_disp/s
+    (the disparity of a given depth scales with fx, so the measurable depth
+    range is UNCHANGED) and upsamples the resulting depth back to full
+    resolution in-graph — ~s^3 less cost-volume work and s-times shorter
+    scan chains, which matters because SGM's sequential scans are the
+    worst-mapped stage on the TPU.  For volumetric integration at 0.1-0.2 m
+    voxels, half-resolution depth is well inside the quantization error."""
+
+    def __init__(self, camera=None, max_disparity: int = 64,
+                 downscale: int = 1, **kw):
         super().__init__(camera, **kw)
         self.max_disparity = max_disparity
+        self.downscale = max(1, int(downscale))
+
+    def _disparity_full_scale(self, img, img_right):
+        """Device disparity map at FULL resolution (disparity values in
+        full-res pixel units), running SGM at 1/downscale internally."""
+        import jax
+
+        iml = jnp.asarray(img, jnp.float32)
+        imr = jnp.asarray(img_right, jnp.float32)
+        s = self.downscale
+        if s > 1:
+            h, w = iml.shape
+            hs, ws = h // s, w // s
+            # average-pool downsample (box filter == anti-aliased for s<=2)
+            iml_s = iml[: hs * s, : ws * s].reshape(hs, s, ws, s).mean((1, 3))
+            imr_s = imr[: hs * s, : ws * s].reshape(hs, s, ws, s).mean((1, 3))
+            disp_s = sgm_disparity(iml_s, imr_s,
+                                   max_disp=max(16, self.max_disparity // s))
+            # upsample; invalid (-1) pixels stay invalid under nearest
+            disp = jax.image.resize(disp_s, (hs * s, ws * s), "nearest")
+            disp = jnp.pad(disp, ((0, h - hs * s), (0, w - ws * s)),
+                           constant_values=-1.0)
+            return jnp.where(disp > 0, disp * s, -1.0)
+        return sgm_disparity(iml, imr, max_disp=self.max_disparity)
 
     def infer(self, img, img_right=None):
         assert img_right is not None, "SGBM needs a stereo pair"
-        disp = np.asarray(
-            sgm_disparity(
-                jnp.asarray(img, jnp.float32),
-                jnp.asarray(img_right, jnp.float32),
-                max_disp=self.max_disparity,
-            )
-        )
+        disp = np.asarray(self._disparity_full_scale(img, img_right))
         if self.camera is not None and self.camera.bf > 0:
             with np.errstate(divide="ignore"):
                 depth = np.where(disp > 0, self.camera.bf / np.maximum(disp, 1e-6), 0.0)
@@ -91,11 +120,7 @@ class DepthEstimatorSgbm(DepthEstimator):
         integrator), keeping the whole SGM->TSDF keyframe path free of
         host<->device round trips."""
         assert img_right is not None, "SGBM needs a stereo pair"
-        disp = sgm_disparity(
-            jnp.asarray(img, jnp.float32),
-            jnp.asarray(img_right, jnp.float32),
-            max_disp=self.max_disparity,
-        )
+        disp = self._disparity_full_scale(img, img_right)
         if self.camera is not None and self.camera.bf > 0:
             depth = jnp.where(disp > 0, self.camera.bf / jnp.maximum(disp, 1e-6), 0.0)
             depth = jnp.where(
