@@ -73,12 +73,13 @@ def depth_to_voxel_updates(
         & (dz > 0.05)
     )
     P, B = sdf.shape
-    col = jnp.broadcast_to(inten[:, None, None], (P, B, 3)) / 255.0
+    # grayscale update column: insert_and_accumulate broadcasts it over RGB
+    col = jnp.broadcast_to(inten[:, None], (P, B)) / 255.0
     return (
         coords.reshape(-1, 3),
         sdf.reshape(-1),
         w.reshape(-1),
-        col.reshape(-1, 3),
+        col.reshape(-1),
         valid.reshape(-1),
     )
 

@@ -271,3 +271,50 @@ fuse_candidates_batch = jax.jit(
     )
 )
 """(B,)-stacked candidate-point sets fused into (B,)-stacked target KFs."""
+
+
+@jax.jit
+def fuse_candidates_store_batch(
+    # device-resident point store (Map.device_store())
+    store_pos: jnp.ndarray,      # (S,3)
+    store_desc: jnp.ndarray,     # (S,256)
+    store_normal: jnp.ndarray,   # (S,3)
+    store_min: jnp.ndarray,      # (S,)
+    store_max: jnp.ndarray,      # (S,)
+    store_valid: jnp.ndarray,    # (S,)
+    # ONE shared candidate row set + per-target activity masks
+    cand_idx: jnp.ndarray,       # (M,) int32 store rows (pad: -1)
+    cand_valid: jnp.ndarray,     # (B,M) per-target candidate mask
+    # (B,)-stacked targets
+    kps: jnp.ndarray, kp_level: jnp.ndarray, kp_desc: jnp.ndarray,
+    kp_valid: jnp.ndarray, kp_ur: jnp.ndarray, Tcw: jnp.ndarray,
+    # shared geometry
+    K: jnp.ndarray, bf: jnp.ndarray, image_bounds: jnp.ndarray,
+    scale_factors: jnp.ndarray, sigma2_levels: jnp.ndarray,
+    max_descriptor_distance,
+):
+    """``fuse_candidates`` fanned over B targets with the candidate payload
+    GATHERED ON DEVICE from the resident point store — the host sends only
+    (M,) indices + (B,M) masks instead of B stacked copies of
+    position/descriptor/normal rows.  On a remote-attached TPU the re-upload
+    of those rows (≈ B·M·0.3 kB per keyframe) dominated the fuse stage; the
+    in-graph row gather costs a fraction of one tunnel RTT."""
+    S = store_pos.shape[0]
+    idx = jnp.clip(cand_idx, 0, S - 1)
+    pts = store_pos[idx]
+    pdesc = store_desc[idx]
+    pnorm = store_normal[idx]
+    pmin = store_min[idx]
+    pmax = store_max[idx]
+    pvalid = store_valid[idx] & (cand_idx >= 0)
+
+    def one(cval, kps1, lvl1, des1, kval1, ur1, T1):
+        return fuse_candidates(
+            pts, pdesc, pnorm, pmin, pmax, pvalid & cval,
+            kps1, lvl1, des1, kval1, ur1, T1, K, bf,
+            image_bounds, scale_factors, sigma2_levels,
+            max_descriptor_distance,
+        )
+
+    return jax.vmap(one)(cand_valid, kps, kp_level, kp_desc, kp_valid,
+                         kp_ur, Tcw)

