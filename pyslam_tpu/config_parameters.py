@@ -157,6 +157,10 @@ class Parameters:
     kMinDeltaFrameForMeaningfulLoopClosure = 10  # ref :244
     kMaxResultsForLoopClosure = 5           # ref :245
     kLoopClosingFeatureMatchRatioTest = 0.9  # ref :259
+    # direct-index gating depth for loop guided matching: pairs must share a
+    # vocabulary-tree ancestor ``depth - this`` levels down (reference DBoW
+    # di_levels; larger value = coarser gate / more candidate pairs)
+    kLoopClosingDirectIndexLevel = 3
     kLoopClosingMaxReprojectionDistanceMapSearch = 10  # px (ref :256)
     kLoopClosingMaxReprojectionDistanceFuse = 4  # px (ref :258)
     kLoopClosingGeometryCheckerMinKpsMatches = 20  # ref :254

@@ -7,8 +7,15 @@ Pipeline, all jitted:
 1. cost volume: census-transform hamming costs over the disparity range
    (shift-and-compare, no loops over pixels),
 2. semi-global aggregation along 4 scan directions with the standard P1/P2
-   smoothness penalties, each direction one ``lax.scan`` over rows/columns
-   (the per-step update is a vectorized (W, D) relaxation),
+   smoothness penalties.  Directions are NOT scanned sequentially over the
+   full image extent (that is ~W sequential steps of tiny (H,D) updates —
+   the worst possible TPU mapping): every scan line is cut into tiles of
+   ``path_tile`` pixels with a ``path_halo`` warm-up prefix, and ALL tiles
+   of ALL four directions run as ONE batched ``lax.scan`` of
+   ``path_halo + path_tile`` steps.  Truncating aggregation paths to tile
+   length is the standard real-time SGM approximation (the ``- prev_min``
+   normalization makes path influence decay geometrically, so a 16-pixel
+   halo recovers near-exact costs),
 3. winner-take-all + parabola subpixel refinement,
 4. left-right consistency check -> invalid pixels get disparity -1.
 """
@@ -48,18 +55,49 @@ def cost_volume(census_l: jnp.ndarray, census_r: jnp.ndarray, max_disp: int):
     return jnp.stack(costs, axis=-1)
 
 
-def _aggregate_dir(cost: jnp.ndarray, p1: float, p2: float, axis: int,
-                   reverse: bool) -> jnp.ndarray:
-    """SGM aggregation along one direction with lax.scan."""
-    c = jnp.moveaxis(cost, axis, 0)  # (S, T, D): scan over S
-    if reverse:
-        c = c[::-1]
+def _path_segments(c: jnp.ndarray, tile: int, halo: int):
+    """(S, T, D) -> (L, n_tiles*T, D) tiled path segments, L = halo + tile.
 
-    D = c.shape[-1]
+    Each segment is one tile of ``tile`` path pixels preceded by ``halo``
+    warm-up pixels (clamped at the image border), so all tiles aggregate in
+    parallel while paths behave as if up to halo+tile pixels long.
+    """
+    S, T, D = c.shape
+    n_tiles = -(-S // tile)
+    idx = jnp.clip(
+        jnp.arange(n_tiles)[:, None] * tile + jnp.arange(-halo, tile)[None, :],
+        0, S - 1,
+    )
+    seg = c[idx]  # (n_tiles, L, T, D)
+    return jnp.moveaxis(seg, 1, 0).reshape(halo + tile, n_tiles * T, D), n_tiles
+
+
+def _segments_to_image(agg: jnp.ndarray, n_tiles: int, S: int, T: int):
+    """(tile, n_tiles*T, D) tile outputs -> (S, T, D)."""
+    tile = agg.shape[0]
+    D = agg.shape[-1]
+    out = agg.reshape(tile, n_tiles, T, D)
+    out = jnp.moveaxis(out, 1, 0).reshape(n_tiles * tile, T, D)
+    return out[:S]
+
+
+def _aggregate_4dir(vol: jnp.ndarray, p1: float, p2: float,
+                    tile: int, halo: int) -> jnp.ndarray:
+    """Sum of 4-direction SGM path costs via ONE batched tiled scan."""
     big = 1e9
+    h, w, D = vol.shape
+
+    cols = vol                              # scan over rows (axis 0)
+    rows = jnp.moveaxis(vol, 1, 0)          # scan over columns
+    views = [rows, rows[::-1], cols, cols[::-1]]
+    segs, meta = [], []
+    for v in views:
+        seg, n_tiles = _path_segments(v, tile, halo)
+        segs.append(seg)
+        meta.append((n_tiles, v.shape[0], v.shape[1], seg.shape[1]))
+    batch = jnp.concatenate(segs, axis=1)   # (L, sum_batches, D)
 
     def step(prev, cur):
-        # prev: (T,D) aggregated costs of previous pixel on the path
         prev_min = jnp.min(prev, axis=-1, keepdims=True)
         shift_p = jnp.pad(prev[..., :-1], ((0, 0), (1, 0)), constant_values=big)
         shift_n = jnp.pad(prev[..., 1:], ((0, 0), (0, 1)), constant_values=big)
@@ -70,15 +108,27 @@ def _aggregate_dir(cost: jnp.ndarray, p1: float, p2: float, axis: int,
         out = cur + smooth - prev_min
         return out, out
 
-    init = c[0]
-    _, agg = jax.lax.scan(step, init, c[1:])
-    agg = jnp.concatenate([init[None], agg], axis=0)
-    if reverse:
-        agg = agg[::-1]
-    return jnp.moveaxis(agg, 0, axis)
+    init = batch[0]
+    _, agg = jax.lax.scan(step, init, batch[1:])
+    agg = jnp.concatenate([init[None], agg], axis=0)[halo:]  # (tile, B, D)
+
+    total = jnp.zeros_like(vol)
+    off = 0
+    for i, (n_tiles, S, T, width) in enumerate(meta):
+        img = _segments_to_image(agg[:, off:off + width], n_tiles, S, T)
+        off += width
+        if i in (1, 3):
+            img = img[::-1]
+        if i in (0, 1):
+            img = jnp.moveaxis(img, 1, 0)
+        total = total + img
+    return total
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "census_radius"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_disp", "census_radius", "path_tile", "path_halo"),
+)
 def sgm_disparity(
     img_l: jnp.ndarray,
     img_r: jnp.ndarray,
@@ -88,18 +138,15 @@ def sgm_disparity(
     census_radius: int = 2,
     lr_tolerance: float = 1.5,
     uniqueness: float = 0.95,
+    path_tile: int = 32,
+    path_halo: int = 16,
 ):
     """Left disparity map with subpixel refinement and LR check; invalid=-1."""
     cl = census_transform(img_l, census_radius)
     cr = census_transform(img_r, census_radius)
     vol = cost_volume(cl, cr, max_disp)
 
-    agg = (
-        _aggregate_dir(vol, p1, p2, axis=1, reverse=False)
-        + _aggregate_dir(vol, p1, p2, axis=1, reverse=True)
-        + _aggregate_dir(vol, p1, p2, axis=0, reverse=False)
-        + _aggregate_dir(vol, p1, p2, axis=0, reverse=True)
-    )
+    agg = _aggregate_4dir(vol, p1, p2, path_tile, path_halo)
 
     d_best = jnp.argmin(agg, axis=-1)
     c_best = jnp.min(agg, axis=-1)

@@ -450,6 +450,7 @@ class SyntheticWorld:
     extent: float = 30.0
     depth_range: tuple = (4.0, 40.0)
     seed: int = 7
+    textured: bool = False   # per-blob sinusoid texture (see __post_init__)
     points: np.ndarray = field(init=False)
     intensities: np.ndarray = field(init=False)
 
@@ -499,6 +500,17 @@ class SyntheticWorld:
         # per-blob intensity gradient: uniform-intensity blobs make every
         # corner look identical and break ratio-test matching
         self.gradients = rng.uniform(-6.0, 6.0, (self.n_points, 2)).astype(np.float32)
+        if self.textured:
+            # per-blob pseudo-random sinusoid texture: descriptor-DISTINCTIVE
+            # interiors (a linear gradient alone leaves BRIEF patterns of
+            # different blobs near-identical, which aliases loop-closure
+            # guided matching into ~100% false correspondences on revisits)
+            self.tex_freq = rng.uniform(0.3, 0.9, (self.n_points, 2)).astype(
+                np.float32)
+            self.tex_phase = rng.uniform(0, 2 * np.pi, (self.n_points, 2)).astype(
+                np.float32)
+            self.tex_amp = rng.uniform(15.0, 35.0, self.n_points).astype(
+                np.float32)
 
 
 class SyntheticDataset(DatasetBase):
@@ -522,6 +534,7 @@ class SyntheticDataset(DatasetBase):
         world: SyntheticWorld | None = None,
         step: float = 0.25,
         period: int | None = None,
+        textured: bool = False,
     ):
         self.sensor_type = sensor_type
         self.num_frames = num_frames
@@ -530,7 +543,7 @@ class SyntheticDataset(DatasetBase):
         self.cx, self.cy = w / 2.0, h / 2.0
         self.baseline = baseline
         self.fps = 10.0
-        self.world = world or SyntheticWorld()
+        self.world = world or SyntheticWorld(textured=textured)
         self.step = step
         self.trajectory = trajectory
         # for "loop": revolution period in frames (default num_frames); with
@@ -598,9 +611,14 @@ class SyntheticDataset(DatasetBase):
             mask = patch_z > z[idx]
             gx, gy = self.world.gradients[idx]
             yy, xx = np.mgrid[ya - y0 : yb - y0, xa - x0 : xb - x0]
-            vals = np.clip(
-                self.world.intensities[idx] + gx * xx + gy * yy, 40.0, 255.0
-            ).astype(np.float32)
+            vals = self.world.intensities[idx] + gx * xx + gy * yy
+            if self.world.textured:
+                fxt, fyt = self.world.tex_freq[idx]
+                pxt, pyt = self.world.tex_phase[idx]
+                vals = vals + self.world.tex_amp[idx] * (
+                    np.sin(fxt * xx + pxt) * np.sin(fyt * yy + pyt)
+                )
+            vals = np.clip(vals, 40.0, 255.0).astype(np.float32)
             img[ya:yb, xa:xb][mask] = vals[mask]
             patch_z[mask] = z[idx]
         return img, zbuf

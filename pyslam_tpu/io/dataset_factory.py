@@ -114,8 +114,12 @@ def dataset_factory(config) -> DatasetBase:
             num_frames=d.get("num_frames", 60),
             h=d.get("h", 240),
             w=d.get("w", 320),
+            fx=d.get("fx", 200.0),
+            baseline=d.get("baseline", 0.2),
             trajectory=d.get("trajectory", "arc"),
             sensor_type=sensor,
+            world=d.get("world"),
+            step=d.get("step", 0.25),
             period=d.get("period"),
         )
     raise ValueError(f"dataset type not supported yet: {ds_type}")

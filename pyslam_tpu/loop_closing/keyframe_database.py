@@ -20,6 +20,9 @@ class KeyFrameDatabase:
         # per-keypoint word assignment, kept so guided matching can restrict
         # candidate feature pairs to shared vocabulary subtrees
         self.kf_kp_words: dict[int, np.ndarray] = {}
+        # per-word idf weights applied at QUERY time (see score()); None ->
+        # plain normalized-tf dot product
+        self.idf: np.ndarray | None = None
 
     def add(self, kid: int, words: np.ndarray | None, g_des: np.ndarray):
         """words=None -> score-based mode (VLAD/VPR-class detectors): only
@@ -46,9 +49,26 @@ class KeyFrameDatabase:
             if lst and kid in lst:
                 lst.remove(kid)
 
-    @staticmethod
-    def score(a: np.ndarray, b: np.ndarray) -> float:
-        return float(a @ b)  # descriptors are L2-normalized
+    def score(self, a: np.ndarray, b: np.ndarray) -> float:
+        """Similarity of two stored tf vectors.
+
+        With ``self.idf`` set (the vocabulary's CURRENT idf statistics,
+        refreshed by the detector before each query), both sides are
+        reweighted symmetrically at query time and cosine-compared — the
+        DBoW3 tf-idf scoring without the incremental-drift problem of baking
+        weights into stored descriptors (weights applied at query time are
+        the same for database and query vector, so rankings stay coherent
+        as documents arrive)."""
+        w = self.idf
+        if w is None:
+            return float(a @ b)  # descriptors are L2-normalized
+        aw = a * w
+        bw = b * w
+        na = float(np.linalg.norm(aw))
+        nb = float(np.linalg.norm(bw))
+        if na < 1e-12 or nb < 1e-12:
+            return 0.0
+        return float(aw @ bw) / (na * nb)
 
     def _common_word_counts(self, words: np.ndarray, exclude: set[int]):
         counts: dict[int, int] = defaultdict(int)

@@ -16,6 +16,7 @@ fusion, essential-graph PGO over Sim(3) (scale free for monocular), then GBA.
 
 from __future__ import annotations
 
+import os
 from collections import deque
 
 import jax
@@ -397,6 +398,12 @@ class LoopClosing:
             >= Parameters.kLoopDetectionMinFramesAfterLastDetection
             and self.map.num_keyframes() > 10
         ):
+            # refresh the query-time idf weights from the vocabulary's
+            # CURRENT document statistics (DBoW3-style tf-idf scoring;
+            # stored vectors stay raw tf so rankings never drift)
+            voc = getattr(self.detector, "vocabulary", None)
+            if words is not None and voc is not None:
+                self.db.idf = voc.idf_weights()
             candidates = self.db.detect_loop_candidates(
                 kf.kid, words, g_des,
                 set(kf.connected_keyframes.keys()),
@@ -442,6 +449,7 @@ class LoopClosing:
 
         Returns (ok, S12 mapping cand-camera coords -> kf-camera coords,
         num_matches)."""
+        dbg = os.environ.get("PYSLAM_TPU_LOOP_DEBUG") == "1"
         st = self.map.points
         cam = self.camera
         slots1 = np.nonzero(kf.points >= 0)[0]
@@ -485,7 +493,7 @@ class LoopClosing:
         idx = None
         if (hasattr(voc, "level_nodes_for") and kp_words1 is not None
                 and len(kp_words1) > slots1.max(initial=0)):
-            lvl = max(0, voc.depth - 3)
+            lvl = max(0, voc.depth - Parameters.kLoopClosingDirectIndexLevel)
             w2 = voc.words_for(
                 st.desc[pids2], np.ones(len(pids2), bool)
             )
@@ -507,6 +515,10 @@ class LoopClosing:
             )
             idx = np.asarray(idx)
         rows = np.nonzero(idx >= 0)[0]
+        if dbg:
+            print(f"[geom-dbg] pids1={len(pids1)} pids2={len(pids2)} "
+                  f"bow_matches={len(rows)} (min {self.min_bow_matches})",
+                  flush=True)
         if len(rows) < self.min_bow_matches:
             return False, None, 0
 
@@ -528,6 +540,14 @@ class LoopClosing:
         p2_p = pad_rows(p2_c.astype(np.float32), m)
         self._key, k = jax.random.split(self._key)
         fix_scale = self.sensor_type != SensorType.MONOCULAR
+        # depth-sigma-aware hypothesis sampling: stereo/RGBD depth error
+        # grows ~z^2, so a minimal triple containing far points yields a
+        # useless Horn solution even though reprojection SCORING tolerates
+        # far points.  Weight ∝ 1/max(z1,z2)^4 (inverse depth-variance^2)
+        # steers the solved-from triples toward near geometry while every
+        # correspondence still votes.
+        zmax = np.maximum(np.maximum(p1_c[:, 2], p2_c[:, 2]), 0.5)
+        w_near = (1.0 / zmax ** 4).astype(np.float32)
         # reprojection-scored RANSAC (3D-3D scoring fails on far-point stereo
         # depth noise; see ops.procrustes.sim3_ransac_reproj docstring)
         S12, inl, n_inl = procrustes.sim3_ransac_reproj(
@@ -542,7 +562,11 @@ class LoopClosing:
             jnp.asarray(self.camera.K, jnp.float32),
             num_hyp=Parameters.kSim3SolverRansacIterations,
             with_scale=not fix_scale,
+            sample_weights=jnp.asarray(pad_rows(w_near, m)),
         )
+        if dbg:
+            print(f"[geom-dbg] ransac inliers={int(n_inl)} "
+                  f"(min {self.min_sim3_inliers})", flush=True)
         if int(n_inl) < self.min_sim3_inliers:
             return False, None, 0
         S_opt, inl2, n_inl2 = optim.optimize_sim3(
@@ -560,6 +584,8 @@ class LoopClosing:
             fix_scale=fix_scale,
             inliers_init=inl,
         )
+        if dbg:
+            print(f"[geom-dbg] sim3-opt inliers={int(n_inl2)}", flush=True)
         if int(n_inl2) < self.min_sim3_inliers:
             return False, None, int(n_inl2)
         S12_np = np.asarray(S_opt, np.float64)

@@ -31,6 +31,10 @@ class Relocalizer:
         if self.detector is not None and self.keyframe_db is not None:
             words, g_des = self.detector.describe_frame(frame)
             self._frame_words = words
+            voc = getattr(self.detector, "vocabulary", None)
+            if words is not None and voc is not None:
+                # query-time tf-idf (see KeyFrameDatabase.score)
+                self.keyframe_db.idf = voc.idf_weights()
             cands = self.keyframe_db.detect_relocalization_candidates(words, g_des)
             if cands:
                 return cands

@@ -58,8 +58,23 @@ class SuperPointExtractor:
         self.conf_threshold = conf_threshold
         key = jax.random.PRNGKey(0)
         self.params = self.net.init(key, jnp.zeros((64, 64, 1)))
+        self.trained = False
         if checkpoint:
             self.load_checkpoint(checkpoint)
+            self.trained = True
+        else:
+            # bundled in-framework-trained checkpoint (MagicPoint-style
+            # synthetic-corner training, models/train_superpoint.py) — the
+            # zero-egress stand-in for the official superpoint_v1.pth the
+            # reference downloads (feature_superpoint.py:60-75)
+            import os
+
+            default = os.path.join(
+                os.path.dirname(__file__), "checkpoints", "superpoint_tiny.npz"
+            )
+            if os.path.exists(default):
+                self.load_checkpoint(default)
+                self.trained = True
         self.scale_factors = np.array([1.0], np.float32)
         self.sigma2 = np.array([1.0], np.float32)
         self.inv_sigma2 = 1.0 / self.sigma2

@@ -21,20 +21,28 @@ import jax.numpy as jnp
 from pyslam_tpu.ops import lie, geometry
 
 
-def _sample_minimal(key, n_valid_mask: jnp.ndarray, num_hyp: int, sample_size: int):
+def _sample_minimal(key, n_valid_mask: jnp.ndarray, num_hyp: int,
+                    sample_size: int, weights: jnp.ndarray | None = None):
     """Draw (num_hyp, sample_size) indices over valid correspondences.
 
     Sampling with replacement from the valid set: degenerate samples (repeated
     indices) simply produce bad hypotheses that lose the vote — cheaper than
-    rejection sampling under jit.
+    rejection sampling under jit.  Optional ``weights`` (N,) bias sampling
+    probability ∝ weight via the Gumbel-max trick (log-weights added to the
+    gumbel scores).
     """
     n = n_valid_mask.shape[0]
     # Gumbel-top-k style: random scores, invalid get -inf, take top sample_size
     # per hypothesis for sampling *without* replacement within a hypothesis.
     keys = jax.random.split(key, num_hyp)
+    logw = (
+        jnp.log(jnp.maximum(weights, 1e-20))
+        if weights is not None
+        else jnp.zeros((n,))
+    )
 
     def one(k):
-        g = jax.random.gumbel(k, (n,))
+        g = jax.random.gumbel(k, (n,)) + logw
         g = jnp.where(n_valid_mask, g, -jnp.inf)
         _, idx = jax.lax.top_k(g, sample_size)
         return idx

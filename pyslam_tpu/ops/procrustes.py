@@ -117,6 +117,7 @@ def sim3_ransac_reproj(
     chi2_th: float = 9.21,   # 2-dof 99% (ORB-SLAM Sim3Solver gate)
     num_hyp: int = 256,
     with_scale: bool = True,
+    sample_weights: jnp.ndarray | None = None,
 ):
     """RANSAC Sim(3) scored by MUTUAL REPROJECTION, not 3D distance.
 
@@ -124,9 +125,19 @@ def sim3_ransac_reproj(
     triangulated far points carry large depth noise (stereo depth error grows
     quadratically with distance), so 3D-3D alignment scoring rejects true
     loops; pixel reprojection in both images is depth-noise tolerant.
+
+    ``sample_weights`` (optional, (N,)) bias MINIMAL-SET sampling toward
+    reliable correspondences (Gumbel-max: sampling probability ∝ weight).
+    The scorer still votes over ALL correspondences — this only raises the
+    odds that the 3 points a hypothesis is SOLVED from have usable 3D
+    accuracy, which 3D-3D Horn needs even when scoring is depth-tolerant
+    (stereo far points can carry >30% depth error, so an unweighted triple
+    almost never yields a competitive hypothesis).
+
     Returns (S12 mapping cam2 coords -> cam1 coords, inlier_mask, count).
     """
-    samples = _sample_minimal(key, valid, num_hyp, 3)
+    samples = _sample_minimal(key, valid, num_hyp, 3,
+                              weights=sample_weights)
 
     def solve(idx):
         return umeyama_S(pts2_c2[idx], pts1_c1[idx], with_scale=with_scale)

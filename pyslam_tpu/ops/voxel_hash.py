@@ -113,7 +113,13 @@ def lookup(table: VoxelHashTable, coords: jnp.ndarray) -> jnp.ndarray:
     """(N,3) coords -> (N,) slot index or -1 (linear probing, fixed budget).
 
     Probes on the 1-int32 fingerprint image (see module docstring) so each
-    round is a single-element gather per lane."""
+    round is a single-element gather per lane.
+
+    PROBABILISTIC CONTRACT: key equality is tested via the 32-bit
+    fingerprint only — an absent coord can resolve to a false-positive slot
+    (and two voxels can alias) with probability ~2^-32 per colliding pair.
+    Negligible for TSDF fusion; callers needing exact semantics must verify
+    ``table.keys[slot] == coord`` themselves."""
     C = table.capacity
     h0 = _hash(coords, C)
     fpt = _table_fingerprints(table)
@@ -211,7 +217,9 @@ def insert_and_accumulate(
     # ---- accumulate: ONE packed scatter-add into per-slot accumulators ---
     ok = (slot_of >= 0) & valid
     tgt = jnp.where(ok, slot_of, C)   # out-of-bounds => dropped
-    gray = color if color.ndim == 1 else color[:, 0]
+    # (N,3) color compatibility path: average to intensity (not channel R)
+    # so a true-RGB producer degrades to correct grayscale
+    gray = color if color.ndim == 1 else color.mean(axis=1)
     upd = jnp.stack([w, sdf * w, gray * w], axis=1).astype(jnp.float32)
     acc = jnp.zeros((C, 3), jnp.float32).at[tgt].add(upd, mode="drop")
     wsum, twsum, gsum = acc[:, 0], acc[:, 1], acc[:, 2]
@@ -238,7 +246,9 @@ def insert_and_accumulate(
 
 
 def gather_values(table: VoxelHashTable, coords: jnp.ndarray):
-    """(tsdf, weight) at coords (0 weight if absent)."""
+    """(tsdf, weight) at coords (0 weight if absent).
+
+    Inherits ``lookup``'s probabilistic fingerprint-equality contract."""
     slots = lookup(table, coords)
     ok = slots >= 0
     s = jnp.where(ok, slots, 0)

@@ -301,6 +301,7 @@ class Frame:
         with np.errstate(divide="ignore", invalid="ignore"):
             depth = np.where(disp_sel > 0, cam.bf / np.maximum(disp_sel, 1e-6), -1.0)
         self.depths = depth.astype(np.float32)
+        self._dev_cache.pop("kps_ur", None)   # invalidate cached device copy
 
     def compute_stereo_from_rgbd(self, depth_img):
         """RGBD -> virtual right coords (reference ``frame.py:1098``)."""
@@ -317,6 +318,7 @@ class Frame:
             self.kps_ur = np.where(
                 ok, self.kps[:, 0] - cam.bf / np.maximum(z, 1e-6), -1.0
             ).astype(np.float32)
+        self._dev_cache.pop("kps_ur", None)   # invalidate cached device copy
 
     # ------------------------------------------------------------- helpers
     def unproject_keypoints(self, idxs=None) -> np.ndarray:
@@ -337,9 +339,12 @@ class Frame:
 
 
 class KeyFrame(Frame):
-    """Frame + covisibility graph node (reference ``keyframe.py:46-633``)."""
+    """Frame + covisibility graph node (reference ``keyframe.py:46-633``).
 
-    _kid_counter = 0
+    ``kid`` is assigned by ``Map.add_keyframe`` (per-map counter) so that
+    concurrent ``Slam`` instances in one process cannot interleave kid
+    sequences — kid deltas drive point-freshness and culling-age logic.
+    """
 
     def __init__(self, frame: Frame, kid: int | None = None):
         # keyframes live in the map and feed host-side consumers (descriptor
@@ -357,11 +362,7 @@ class KeyFrame(Frame):
         if self.__dict__.get("_des_dev") is not None:
             self._dev_cache.setdefault("des", self._des_dev)
         self._des_dev = None
-        if kid is None:
-            self.kid = KeyFrame._kid_counter
-            KeyFrame._kid_counter += 1
-        else:
-            self.kid = kid
+        self.kid = kid  # None until Map.add_keyframe assigns it
         self.is_keyframe = True
         self.is_bad = False
         # covisibility graph (host dicts)

@@ -212,6 +212,7 @@ class LocalMapping:
         elif s >= 4:
             with t.stage("cull_kfs"):
                 self.cull_keyframes(kf)
+            self._trim_device_caches(kf)
             # hand the keyframe onward (reference local_mapping.py:488-513)
             if self.loop_closing is not None:
                 self.loop_closing.add_keyframe(kf)
@@ -246,6 +247,21 @@ class LocalMapping:
                     )
             return
         self._job_stage = s + 1
+
+    def _trim_device_caches(self, kf: KeyFrame):
+        """Bound HBM use: free per-KF device caches (descriptor blocks etc.)
+        outside the new keyframe's covisibility neighborhood.  ``Frame.dev``
+        transparently re-uploads on next use, so this is purely a
+        memory/bandwidth trade — without it, HBM grows ~N*D bytes per live
+        keyframe for the life of the session (advisor r03)."""
+        keep = set(kf.ordered_covisibles(Parameters.kLocalBAWindowSize))
+        keep.add(kf.kid)
+        keep.update(self.map.keyframe_order[-4:])
+        for kid in self.map.keyframe_order:
+            if kid not in keep:
+                other = self.map.keyframes.get(kid)
+                if other is not None and other._dev_cache:
+                    other.drop_device_cache()
 
     def finish(self):
         """Drain the back-end completely (blocking).  Used at sequence end,
@@ -838,14 +854,21 @@ class LocalMapping:
         # LM damping state (lam) is threaded through, so an un-aborted
         # chunked run is numerically identical to one full-length run.
         total = Parameters.kOptimizerLBAIterations
-        chunk = max(2, total // 3)
+        chunk = max(2, (total + 1) // 2)
+        # EVERY dispatch uses the same static ``iters=chunk`` so the whole
+        # chunked run compiles exactly two graph variants (lam0=None for the
+        # first chunk, lam0=array for the rest) — a variable-size remainder
+        # chunk was the round-3 post-warmup compile leak.  The remainder is
+        # rounded UP to a whole chunk (at worst chunk-1 extra LM iterations
+        # past ``total``, which only converges further).
+        rest = total - min(chunk, total)
         result = optim.bundle_adjust(
             problem, iters=min(chunk, total), return_state=True
         )
         meta.update(
             problem=problem,
-            chunk=max(1, total - chunk),
-            iters_left=total - min(chunk, total),
+            chunk=chunk,
+            iters_left=-(-rest // chunk) * chunk,
             result=result,
         )
         self._lba = meta
@@ -866,7 +889,7 @@ class LocalMapping:
             prob = lba["problem"]._replace(
                 poses=new_poses_dev, points=new_points_dev
             )
-            n = min(lba["chunk"], lba["iters_left"])
+            n = lba["chunk"]   # fixed static iters: no compile variants
             lba["problem"] = prob
             lba["result"] = optim.bundle_adjust(
                 prob, iters=n, lam0=lam_dev, return_state=True

@@ -95,6 +95,10 @@ class Map:
         self.point_removal_listeners: list = []
         self.max_frame_id = 0
         self.max_keyframe_id = 0
+        # per-map kid counter: keyframe ids must be sequential WITHIN a map
+        # (kid deltas drive freshness/culling logic), so assignment lives
+        # here, not on a process-global class attribute
+        self.next_kid = 0
         self._dev_store = None   # see device_store()
         self._native = None
         try:
@@ -129,6 +133,9 @@ class Map:
 
     # ------------------------------------------------------------ keyframes
     def add_keyframe(self, kf: KeyFrame):
+        if kf.kid is None:
+            kf.kid = self.next_kid
+        self.next_kid = max(self.next_kid, kf.kid + 1)
         self.keyframes[kf.kid] = kf
         self.keyframe_order.append(kf.kid)
         self.max_keyframe_id = max(self.max_keyframe_id, kf.kid)

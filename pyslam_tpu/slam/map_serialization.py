@@ -155,6 +155,6 @@ def map_from_json(d: dict, feature_tracker, camera) -> Map:
     for pid, obs in m.observations.items():
         st.num_obs[pid] = len(obs)
 
-    KeyFrame._kid_counter = max(KeyFrame._kid_counter, max_kid + 1)
+    m.next_kid = max(m.next_kid, max_kid + 1)
     Frame._id_counter = max(Frame._id_counter, max_fid + 1)
     return m

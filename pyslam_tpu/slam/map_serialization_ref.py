@@ -441,7 +441,7 @@ def map_from_reference_json(d: dict, feature_tracker, camera=None) -> Map:
 
     m.max_frame_id = max(m.max_frame_id, max_fid)
     m.max_keyframe_id = max(m.max_keyframe_id, max_kid)
-    KeyFrame._kid_counter = max(KeyFrame._kid_counter, max_kid + 1)
+    m.next_kid = max(m.next_kid, max_kid + 1)
     Frame._id_counter = max(Frame._id_counter, max_fid + 1)
     return m
 

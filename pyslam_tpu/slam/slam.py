@@ -189,6 +189,48 @@ class Slam:
         if self.semantic_mapping is not None:
             self.semantic_mapping.run_all()
 
+    def prewarm(self):
+        """Compile every steady-state graph VARIANT that is not exercised by
+        the first tracked frames: the legacy tracking fallback chain and both
+        chunked-LBA variants (lam0 absent/threaded).  Calling this during a
+        session's warmup phase makes ``recompiles_after_warmup == 0`` a hard
+        invariant (asserted by bench.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pyslam_tpu.ops import optim
+        from pyslam_tpu.utils.padding import fixed_shapes
+
+        self.tracking.prewarm()
+        if fixed_shapes():
+            C = Parameters.kLBAMaxCameras
+            P = Parameters.kLBAMaxPoints
+            O = Parameters.kLBAMaxObservations
+            rng = np.random.default_rng(0)
+            fixed = np.zeros(C, bool)
+            fixed[0] = True
+            prob = optim.BAProblem(
+                poses=jnp.asarray(np.tile(np.eye(4, dtype=np.float32),
+                                          (C, 1, 1))),
+                points=jnp.asarray(rng.uniform(-5, 5, (P, 3)).astype(np.float32)),
+                cam_idx=jnp.asarray((np.arange(O) % C).astype(np.int32)),
+                pt_idx=jnp.asarray((np.arange(O) % P).astype(np.int32)),
+                uv=jnp.asarray(rng.uniform(0, 200, (O, 2)).astype(np.float32)),
+                ur=jnp.full((O,), -1.0, jnp.float32),
+                sigma2=jnp.ones((O,), jnp.float32),
+                valid=jnp.ones((O,), bool),
+                fixed=jnp.asarray(fixed),
+                K=jnp.asarray(self.camera.K, jnp.float32),
+                bf=jnp.asarray(self.camera.bf, jnp.float32),
+            )
+            total = Parameters.kOptimizerLBAIterations
+            chunk = max(2, (total + 1) // 2)
+            r = optim.bundle_adjust(prob, iters=min(chunk, total),
+                                    return_state=True)
+            r2 = optim.bundle_adjust(prob, iters=chunk, lam0=r[3],
+                                     return_state=True)
+            jax.block_until_ready((r[0], r2[0]))
+
     @property
     def state(self) -> TrackingState:
         return self.tracking.state

@@ -138,6 +138,71 @@ class Tracking:
         self._cap_kps = pow2(feature_tracker.num_features)
         self._cap_map = pow2(Parameters.kTrackLocalMapMaxPoints)
 
+    def prewarm(self):
+        """Compile the LEGACY fallback graphs at the session's fixed shapes.
+
+        The fused OK-path graphs compile naturally during the first tracked
+        frames, but the fallback chain (``track_previous_frame`` /
+        ``track_reference_frame`` / ``track_local_map`` + standalone pose
+        optimization) only runs on motion-model breaks or relocalization —
+        without prewarming, its first use pays a multi-second XLA compile in
+        the middle of the session (round-3 bench: a 7.6 s ``track_prev``
+        stage average caused entirely by one post-warmup compile).
+        Hamming-descriptor sessions only (the production default layout).
+        """
+        from pyslam_tpu.features.types import NormType
+        from pyslam_tpu.ops import hamming, matching as m_ops
+
+        if getattr(self.tracker, "norm", None) != NormType.HAMMING:
+            return
+        import jax
+
+        N = self.tracker.num_features
+        L = len(self.tracker.scale_factors)
+        rng = np.random.default_rng(0)
+        des = jnp.asarray(rng.integers(0, 2, (N, 256)).astype(np.int8))
+        kps = jnp.asarray(rng.uniform(10, 200, (N, 2)).astype(np.float32))
+        levels = jnp.zeros((N,), jnp.int32)
+        kvalid = jnp.ones((N,), bool)
+        ur = jnp.full((N,), -1.0, jnp.float32)
+        Tcw = jnp.asarray(np.eye(4, dtype=np.float32))
+        K = jnp.asarray(self.camera.K, jnp.float32)
+        ib = jnp.asarray(self._ib)
+        sf = jnp.asarray(self.tracker.scale_factors)
+        outs = []
+        for m in {self._cap_kps, self._cap_map}:
+            pts = jnp.asarray(rng.uniform(-5, 5, (m, 3)).astype(np.float32))
+            outs.append(slam_matching.search_by_projection(
+                pts, jnp.asarray(rng.integers(0, 2, (m, 256)).astype(np.int8)),
+                jnp.asarray(np.tile([0, 0, 1.0], (m, 1)).astype(np.float32)),
+                jnp.full((m,), 0.1, jnp.float32),
+                jnp.full((m,), 50.0, jnp.float32), jnp.ones((m,), bool),
+                kps, levels, des, kvalid, ur, Tcw, K, ib, sf,
+                float(Parameters.kMaxReprojectionDistanceFrame),
+                float(self.desc_dist_th), ratio=0.9,
+            )[1])
+        outs.append(optim.pose_optimization(
+            Tcw,
+            jnp.asarray(rng.uniform(-5, 5, (self._cap_kps, 3)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 200, (self._cap_kps, 2)).astype(np.float32)),
+            jnp.full((self._cap_kps,), -1.0, jnp.float32),
+            jnp.ones((self._cap_kps,), jnp.float32),
+            jnp.ones((self._cap_kps,), bool),
+            K, bf=self.camera.bf,
+        )[0])
+        # track_reference_frame graphs
+        d = hamming.descriptor_distance_matrix(des, des).astype(jnp.float32)
+        outs.append(m_ops.match_ratio_test(
+            d, Parameters.kMaxDescriptorDistance, ratio=0.7,
+            valid_a=kvalid, valid_b=kvalid,
+        )[0])
+        ang, ok = pad_fixed(np.zeros(10, np.float32), self._cap_kps)
+        outs.append(m_ops.rotation_histogram_filter(
+            jnp.asarray(ang), jnp.asarray(pad_rows(np.zeros(10, np.float32),
+                                                   len(ok))), jnp.asarray(ok),
+        ))
+        jax.block_until_ready(outs)
+
     @property
     def desc_dist_th(self) -> float:
         if self.dyn_config is not None:

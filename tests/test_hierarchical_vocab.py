@@ -91,6 +91,68 @@ def test_retrieval_beats_flat_vocab():
     assert acc_tree >= acc_flat - 0.05, (acc_tree, acc_flat)
 
 
+def test_query_time_idf_improves_stopword_retrieval():
+    """tf-idf applied at QUERY time (KeyFrameDatabase.score with db.idf set)
+    must beat uniform scoring when places share a large 'stopword' descriptor
+    population — the case idf exists for (DBoW3 scoring)."""
+    from pyslam_tpu.loop_closing.keyframe_database import KeyFrameDatabase
+
+    rng = np.random.default_rng(9)
+    n_places, n_unique = 12, 40
+    # a few tight 'stopword' clusters present in EVERY snapshot but with
+    # BURSTY counts (visit and revisit see different amounts — think road
+    # surface / sky / foliage), plus small per-place unique clusters: under
+    # uniform weighting the bursty shared mass dominates the normalized tf
+    # direction and scrambles rankings; idf suppresses exactly those words
+    protos = rng.integers(0, 2, (4, 256))
+
+    def stopwords():
+        parts = []
+        for proto in protos:
+            n = int(rng.integers(20, 400))
+            parts.append(
+                (proto[None, :] ^ (rng.random((n, 256)) < 0.02)).astype(np.int8)
+            )
+        return np.concatenate(parts)
+
+    places, revisits = [], []
+    for _ in range(n_places):
+        uniq = rng.integers(0, 2, (n_unique, 256)).astype(np.int8)
+        places.append(np.concatenate([stopwords(), uniq]))
+        revisits.append(np.concatenate([
+            stopwords(),
+            (uniq ^ (rng.random(uniq.shape) < 0.05)).astype(np.int8),
+        ]))
+
+    voc = HierarchicalVocabulary(branching=8, depth=3, seed=10)
+    voc.seed_from_descriptors(np.concatenate(places[:6]))
+
+    def run(use_idf):
+        db = KeyFrameDatabase(voc.num_words)
+        gdes = []
+        for p in places:
+            w = voc.words_for(p, np.ones(len(p), bool))
+            voc.add_document(w)
+            gdes.append(voc.global_descriptor(w))
+        db.idf = voc.idf_weights() if use_idf else None
+        correct = 0
+        for i, r in enumerate(revisits):
+            q = voc.global_descriptor(voc.words_for(r, np.ones(len(r), bool)))
+            sims = [db.score(q, g) for g in gdes]
+            correct += int(np.argmax(sims) == i)
+        return correct / n_places
+
+    # reset doc stats between runs
+    voc.doc_count = 0
+    voc.word_doc_count[:] = 0
+    acc_uniform = run(use_idf=False)
+    voc.doc_count = 0
+    voc.word_doc_count[:] = 0
+    acc_idf = run(use_idf=True)
+    assert acc_idf >= acc_uniform, (acc_idf, acc_uniform)
+    assert acc_idf >= 0.9, acc_idf
+
+
 def test_dbow3_text_import(tmp_path):
     """Parse the DBoW3 text format: header 'k L scoring weighting', nodes as
     'parent is_leaf byte... weight' in creation order."""

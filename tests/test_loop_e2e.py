@@ -40,12 +40,24 @@ def test_rgbd_slam_loop_closure():
 
 
 @pytest.mark.slow
-def test_stereo_slam_full_circle_robustness():
-    """Stereo on the full circle: tracking must survive all 160 frames with
-    bounded drift (stereo depth noise at 20-40m makes the loop geometry check
-    marginal on this renderer, so only robustness/drift are asserted)."""
+def test_stereo_slam_loop_closure():
+    """Stereo circle WITH a true revisit tail (period < num_frames, like the
+    RGBD loop test): the detector must fire, the Sim3 geometry check must
+    ACCEPT at the revisit keyframes (6-DoF, fixed scale), and the correction
+    + PGO must repair the drift.
+
+    Diagnosed in round 4: with ``period == num_frames`` the circle never
+    actually revisits the start, so every detector candidate pairs views
+    from ACROSS the circle — there stereo depth noise at 20-40 m times the
+    multi-meter viewpoint baseline legitimately defeats Sim3 verification
+    (a GT-pose oracle scored ~0/60 of those matches as true).  The reference
+    closes loops on real revisits; so must we.  The Sim3 RANSAC samples
+    minimal sets weighted by inverse depth-variance (1/z^4), which is what
+    lifts the true-revisit inlier count over the acceptance gate with noisy
+    far stereo points in the pool."""
     ds = SyntheticDataset(
-        num_frames=160, sensor_type=SensorType.STEREO, trajectory="loop"
+        num_frames=175, period=160, sensor_type=SensorType.STEREO,
+        trajectory="loop",
     )
     cam = PinholeCamera(
         ds.w, ds.h, ds.fx, ds.fy, ds.cx, ds.cy,
@@ -59,9 +71,13 @@ def test_stereo_slam_full_circle_robustness():
             ds.getImage(i), img_right=ds.getImageRight(i),
             frame_id=i, timestamp=ds.getTimestamp(i),
         )
+    slam.finish()
+    assert slam.loop_closing.num_loops_closed >= 1, (
+        "stereo loop was not detected/closed"
+    )
     ts, poses = slam.get_final_trajectory()
-    assert len(ts) >= 155, f"only {len(ts)} tracked frames"
+    assert len(ts) >= 168, f"only {len(ts)} tracked frames"
     gt_t = np.array([ds.getTimestamp(i) for i in range(len(ds))])
     res = eval_ate(ts, poses[:, :3, 3], gt_t, ds.poses[:, :3, 3], with_scale=False)
-    # 75m path around the circle; <2.5% drift without loop closure
-    assert res.rmse < 1.8, res
+    # 75m path; drift repaired by the loop correction (0.68 measured)
+    assert res.rmse < 1.2, res
