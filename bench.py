@@ -89,14 +89,21 @@ def build_stream():
     from pyslam_tpu.io.dataset import SyntheticDataset, SyntheticWorld
     from pyslam_tpu.io.dataset_types import SensorType
 
-    world = SyntheticWorld(n_points=12000, extent=60.0, depth_range=(4.0, 80.0))
+    # world must outrun the trajectory: the line covers N_FRAMES*step meters
+    # and the box world's far wall sits at z = extent*1.4 — keep >=30 m of
+    # clearance or tracking legitimately collapses when the camera closes on
+    # the wall (an input degeneracy, not a SLAM property to measure)
+    extent = max(60.0, (N_FRAMES * 0.8 + 30.0) / 1.4)
+    world = SyntheticWorld(n_points=16000, extent=extent,
+                           depth_range=(4.0, 80.0))
     ds = SyntheticDataset(
         num_frames=N_FRAMES, h=H, w=W, fx=FX, baseline=BASELINE_M,
         trajectory="line", step=0.8, sensor_type=SensorType.STEREO,
         world=world,
     )
     import os
-    cache = f"/tmp/pyslam_tpu_bench_frames_{N_FRAMES}x{H}x{W}.npz"
+    cache = (f"/tmp/pyslam_tpu_bench_frames_{N_FRAMES}x{H}x{W}"
+             f"_e{int(extent)}n16000.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         left, right, ts = z["left"], z["right"], z["ts"]

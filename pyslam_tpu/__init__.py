@@ -32,7 +32,12 @@ try:  # pragma: no cover - depends on environment
         )
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # persist even small graphs: the frame loop compiles ~100 helper
+        # graphs besides the big fused ones, and through the remote-compile
+        # tunnel each recompile costs its full XLA time again (measured
+        # 113 cache misses / 14 hits on a warm second run at the old 2.0 s
+        # threshold — most of the warmup was sub-2s graphs)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 except Exception:
     pass
 

@@ -212,6 +212,11 @@ class Parameters:
     # stops growing — the r2 bench capped at exactly 2^20 voxels this way).
     # 40 B/slot => 2^22 slots = 168 MB HBM, cheap on a 16 GB chip.
     kVolumetricIntegrationTableCapacity = 1 << 22
+    # max voxel samples on each side of the measured surface per depth ray:
+    # insert cost is linear in pixels x (2*band+1) at ~11 ns/element per
+    # random pass, and +-2 voxels brackets the zero crossing; raise this to
+    # integrate the full sdf_trunc region when fidelity beats speed
+    kVolumetricIntegrationBandMaxSteps = 2
     kDoVolumetricIntegration = False        # reference master switch (ref :300)
     kVolumetricIntegrationType = "TSDF"     # ref :308 (VOXEL_GRID there)
     kVolumetricIntegrationVoxelLength = 0.015   # [m] ref :311

@@ -107,9 +107,15 @@ class TSDFVolume:
         # random pass) shrinks stride^2-fold.  KITTI-class outdoor (fx=718,
         # trunc 40 m, voxel 0.2) -> 3; small indoor scenes -> 1.
         self.stride = stride
-        self.band_steps = max(
-            2, int(round(self.sdf_trunc / self.voxel_size))
-        )
+        # samples per ray: one voxel step across the truncation region, but
+        # capped — the insert cost is linear in (pixels x band samples) at
+        # ~11 ns/element/random-pass, and a +-2-voxel band already brackets
+        # the zero crossing (the region past it only feeds the weight
+        # falloff).  sdf normalization still uses the full sdf_trunc.
+        self.band_steps = int(np.clip(
+            round(self.sdf_trunc / self.voxel_size),
+            2, Parameters.kVolumetricIntegrationBandMaxSteps,
+        ))
         self.table = voxel_hash.make_table(self.capacity)
         self.num_integrated = 0
 

@@ -103,17 +103,32 @@ class VolumetricIntegrator:
         self._kf_ref = kf
 
     def step(self) -> bool:
+        """Advance integration by ONE bounded device dispatch.
+
+        A keyframe integration is two device graphs — depth estimation (SGM
+        on the stereo pair) and the TSDF update — that together cost more
+        than a frame budget.  Dispatching them in one frame slot parks
+        ~200 ms of device work in front of the NEXT frame's tracking
+        readback (single device queue), so the frame loop calls step() once
+        per frame and each call issues at most one of the two stages."""
+        if self._staged is not None:
+            snap, depth_dev = self._staged
+            self._staged = None
+            self._integrate_depth(snap, depth_dev)
+            return True
         if not self.queue:
             return False
         snap = self.queue.popleft()
-        self._integrate_snapshot(snap)
+        self._integrate_snapshot(snap, split=True)
         return True
 
     def run_all(self):
         while self.step():
             pass
 
-    def _integrate_snapshot(self, snap: KeyframeSnapshot):
+    _staged: tuple | None = None
+
+    def _integrate_snapshot(self, snap: KeyframeSnapshot, split: bool = False):
         estimated_on_device = False
         if snap.depth is None:
             if self._depth_provider is None or snap.intensity is None:
@@ -129,9 +144,15 @@ class VolumetricIntegrator:
                 # into the TSDF update — the whole keyframe integration is
                 # async dispatch, zero host round trips (finite by
                 # construction: the SGM path gates through jnp.where)
-                snap.depth = self._depth_provider.infer_depth_device(
+                depth_dev = self._depth_provider.infer_depth_device(
                     snap.intensity, img_right=snap.img_right
                 )
+                if split:
+                    # stage 2 (TSDF update) runs on the NEXT step() call;
+                    # the SGM graph dispatched above computes meanwhile
+                    self._staged = (snap, depth_dev)
+                    return
+                snap.depth = depth_dev
                 estimated_on_device = True
             else:
                 depth, _ = self._depth_provider.infer(
@@ -140,15 +161,21 @@ class VolumetricIntegrator:
                 snap.depth = np.where(np.isfinite(depth), depth, 0.0).astype(
                     np.float32
                 )
+        self._integrate_depth(snap, snap.depth,
+                              estimated_on_device=estimated_on_device)
+
+    def _integrate_depth(self, snap: KeyframeSnapshot, depth,
+                         estimated_on_device: bool = True):
         intensity = (
             snap.intensity
             if snap.intensity is not None
-            else np.full_like(snap.depth, 128.0)
+            else np.full_like(np.asarray(depth), 128.0)
         )
         intensity = np.asarray(intensity, np.float32)
         if intensity.ndim == 3:
             intensity = intensity.mean(axis=-1)
-        self.volume.integrate(snap.depth, intensity, snap.Twc, self.camera.K)
+        snap.depth = depth
+        self.volume.integrate(depth, intensity, snap.Twc, self.camera.K)
         if estimated_on_device:
             # don't pin a full-resolution device depth per keyframe for the
             # whole session; rebuild() re-estimates on the same fast path
@@ -183,6 +210,7 @@ class VolumetricIntegrator:
         self.queue.clear()
         self.snapshots.clear()
         self._pending_data.clear()
+        self._staged = None
 
 
 def volumetric_integrator_factory(

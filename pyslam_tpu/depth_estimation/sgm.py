@@ -172,12 +172,18 @@ def sgm_disparity(
     )
 
     # right disparity via cost-volume reprojection for the LR check:
-    # cost_r(x, d) = cost_l(x + d, d)
+    # cost_r(x, d) = cost_l(x + d, d).  Per-disparity this is a CONTIGUOUS
+    # left-shift of the (H,W) cost plane — D static slice+pads instead of an
+    # (H,W,D) take_along_axis (a ~30M-element random gather at KITTI size:
+    # ~11 ns/element on TPU made that one op dominate the whole SGM graph)
     h, w = img_l.shape
     xs = jnp.arange(w)
-    idx = jnp.clip(xs[None, :, None] + dd[None, None, :], 0, w - 1)
-    agg_r = jnp.take_along_axis(
-        agg, jnp.broadcast_to(idx, (h, w, D)), axis=1
+    agg_r = jnp.stack(
+        [
+            jnp.pad(agg[:, d:, d], ((0, 0), (0, d)), mode="edge")
+            for d in range(D)
+        ],
+        axis=-1,
     )
     d_right = jnp.argmin(agg_r, axis=-1)
     # check: |disp_l(x) - disp_r(x - disp_l(x))| <= tol

@@ -188,18 +188,14 @@ def insert_and_accumulate(
         slot_of = jnp.where(won, slot, slot_of)
         won_any = won_any | won
         pending = pending & ~won
-        # duplicate keys: a loser whose slot was claimed THIS round by a
-        # winner with the same key binds to it here instead of probing past
-        # it (which would claim a second slot for the same voxel) — compare
-        # fingerprints via the winner's id (a batch-side (N,) gather)
-        same_as_winner = (
-            pending & want & (winner_id < n)
-            & (fps[jnp.clip(winner_id, 0, n - 1)] == fps)
-        )
-        slot_of = jnp.where(same_as_winner, slot, slot_of)
-        pending = pending & ~same_as_winner
-        # losers to FOREIGN keys advance their probe offset
-        probe = jnp.where(pending, probe + 1, probe)
+        # losers whose slot was claimed THIS round (want & ~won) STAY at the
+        # same probe offset: next round's fpt gather sees the winner's
+        # fingerprint, so a duplicate-key loser binds via key_eq (case 1) and
+        # a foreign-key loser advances then.  This replaces a per-round (N,)
+        # winner-fingerprint gather with nothing (3 random passes per round
+        # instead of 4, each ~11 ns/element); the only cost is one wasted
+        # round for the rare foreign pair racing on the same empty slot.
+        probe = jnp.where(pending & ~want, probe + 1, probe)
         return slot_of, probe, won_any, fpt
 
     slot_of0 = jnp.full((n,), -1, jnp.int32)

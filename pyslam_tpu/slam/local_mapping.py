@@ -27,6 +27,7 @@ from __future__ import annotations
 import time
 from collections import deque
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +64,8 @@ class LocalMapping:
         # slice, and the in-flight chunked LBA (device futures + metadata)
         self._job: KeyFrame | None = None
         self._job_stage = 0
+        self._tri_job: dict | None = None    # in-flight triangulation match
+        self._fuse_job: dict | None = None   # in-flight fuse match
         self._lba: dict | None = None
         self.lba_chunks_aborted = 0   # observability for the abort test
         self._kf_count = 0            # processed keyframes (large-BA cadence)
@@ -106,18 +109,30 @@ class LocalMapping:
         next chunk boundary, so it never delays accepting a keyframe the way
         a busy mapping THREAD does in the reference.  Gating insertion on
         LBA completion starves the map (LBA windows span multiple frames on
-        a remote accelerator)."""
-        return len(self.queue) == 0 and self._job is None
+        a remote accelerator).  Likewise a job whose triangulation has
+        already harvested (stage >= 2: fuse/LBA remain) counts as accepting:
+        its new map points exist, and the polled fuse/LBA tails span several
+        frames each — holding keyframes for them starved the map on TPU
+        (37/120 frames tracked when this gated on job completion)."""
+        if self.sensor_type == SensorType.MONOCULAR:
+            # monocular quality hinges on every keyframe's LBA landing
+            # un-aborted (scale drifts otherwise): a busy job defers the
+            # next keyframe, like the reference's mono policy
+            return len(self.queue) == 0 and self._job is None
+        return len(self.queue) == 0 and (
+            self._job is None or self._job_stage >= 2
+        )
 
     def queue_size(self) -> int:
         return len(self.queue)
 
     # ------------------------------------------------------- async schedule
-    # job slices: 0=associate+cull, 1=triangulate, 2=fuse, 3=lba dispatch,
-    # 4=(lba in flight), 5=apply done -> cull_kfs + handoff
-    _N_SLICES = 6
+    # job slices: 0=associate+cull+tri-dispatch, 1=tri-harvest (polled),
+    # 2=fuse-dispatch, 3=fuse-harvest (polled), 4=lba dispatch,
+    # 5=(lba in flight), 6=apply done -> cull_kfs + handoff
+    _N_SLICES = 7
 
-    def step_async(self) -> bool:
+    def step_async(self, start_new_jobs: bool = True) -> bool:
         """Advance the back-end (call once per tracked frame).  Never blocks
         on the device: consumes all progress available WITHOUT waiting — host
         slices, plus LBA chunk transitions whose results are already ready —
@@ -152,7 +167,7 @@ class LocalMapping:
                 did = True
                 continue
             if self._job is None:
-                if not self.queue:
+                if not self.queue or not start_new_jobs:
                     break
                 self._job = self.queue.popleft()
                 self._job_stage = 0
@@ -163,20 +178,28 @@ class LocalMapping:
                 else (n_slices >= max_slices)
             ):
                 break
-            self._advance_slice()
+            # bootstrap: while the map is tiny, tracking quality depends on
+            # each keyframe's points landing before the next frame — run the
+            # job synchronously (polled stages would stretch it over several
+            # frames and starve the young map)
+            bootstrap = self.map.num_keyframes() <= 4
+            if not self._advance_slice(block=bootstrap):
+                break      # stage waiting on an in-flight device result
             n_slices += 1
             did = True
         return did
 
     def harvest(self) -> bool:
         """Apply back-end device results that are ALREADY ready (LBA chunk
-        transition or final apply).  Never runs host pipeline slices, never
-        blocks — called right before tracking a new frame so the pose/point
-        refinements that landed during the previous frame are visible."""
-        did = False
-        while self._lba is not None and self._lba_poll(block=False):
-            did = True
-        return did
+        transitions, triangulation/fuse harvests whose futures resolved
+        while the previous frame was on the host) and issue the follow-on
+        dispatches.  Never blocks, never STARTS a new keyframe job — called
+        right before tracking a new frame so (a) refinements are visible and
+        (b) the in-flight job advances twice per frame instead of once
+        (one-advance-per-frame stretched a job over ~8 frames, which
+        throttled keyframe insertion through the queue cap and starved the
+        map on the TPU bench)."""
+        return self.step_async(start_new_jobs=False)
 
     def interrupt_optimization(self):
         """Tracking-side interrupt: a keyframe is needed NOW (reference
@@ -184,32 +207,59 @@ class LocalMapping:
         after its current chunk; a not-yet-dispatched LBA is skipped."""
         self.opt_abort_flag = True
 
-    def _advance_slice(self):
+    def _advance_slice(self, block: bool = False):
+        """Advance the keyframe job one stage.  Device-readback stages
+        (triangulation/fuse harvests) POLL their futures and return False
+        when still in flight — the frame loop never blocks behind queued
+        device work (``block=True`` restores synchronous semantics for the
+        drain/test paths).  Returns True if the stage ran."""
         kf = self._job
         t = self.timings
         s = self._job_stage
         if s == 0:
-            # associate + cull + triangulate run together: tracking quality
-            # depends on the new keyframe's triangulated points being
-            # available by the NEXT frame (critical right after mono init)
+            # associate + cull + triangulate-dispatch run together: tracking
+            # quality depends on the new keyframe's triangulated points being
+            # available soon (critical right after mono init)
             with t.stage("process_kf"):
                 self.process_new_keyframe(kf)
             with t.stage("cull_points"):
                 self.cull_map_points()
+            with t.stage("tri_dispatch"):
+                self._tri_job = self._tri_dispatch(kf)
+            self._job_stage = 1 if self._tri_job is not None else 2
+            return True
+        elif s == 1:
+            job = self._tri_job
+            fut = job["fut"] if "fut" in job else job["fut_list"][-1]
+            if block:
+                jax.block_until_ready(fut)
+            elif not fut.is_ready():
+                return False
             with t.stage("triangulate"):
-                self.create_new_map_points(kf)
-            self._job_stage = 2
-            return
+                self._tri_job = None
+                self._tri_harvest(kf, job)
         elif s == 2:
-            with t.stage("fuse"):
-                self.fuse_map_points(kf)
+            with t.stage("fuse_dispatch"):
+                self._fuse_job = self._fuse_dispatch(kf)
+            self._job_stage = 3 if self._fuse_job is not None else 4
+            return True
         elif s == 3:
+            job = self._fuse_job
+            fut = job["parts"][-1][0]
+            if block:
+                jax.block_until_ready(fut)
+            elif not fut.is_ready():
+                return False
+            with t.stage("fuse"):
+                self._fuse_job = None
+                self._fuse_harvest(kf, job)
+        elif s == 4:
             if self.map.num_keyframes() > 2:
                 with t.stage("lba_dispatch"):
                     self._lba_dispatch(kf)
-            self._job_stage = 4
-            return
-        elif s >= 4:
+            self._job_stage = 5
+            return True
+        elif s >= 5:
             with t.stage("cull_kfs"):
                 self.cull_keyframes(kf)
             self._trim_device_caches(kf)
@@ -245,8 +295,9 @@ class LocalMapping:
                     self._lba_dispatch(
                         kf, window_size=Parameters.kLargeBAWindowSize
                     )
-            return
+            return True
         self._job_stage = s + 1
+        return True
 
     def _trim_device_caches(self, kf: KeyFrame):
         """Bound HBM use: free per-KF device caches (descriptor blocks etc.)
@@ -278,7 +329,7 @@ class LocalMapping:
             if self._lba is not None:
                 self._lba_poll(block=True)
             else:
-                self._advance_slice()
+                self._advance_slice(block=True)
 
     # synchronous compatibility surface
     def step(self) -> bool:
@@ -348,17 +399,24 @@ class LocalMapping:
 
     # ------------------------------------------------- create_new_map_points
     def create_new_map_points(self, kf: KeyFrame):
+        """Blocking wrapper: dispatch + immediate harvest (sync paths)."""
+        job = self._tri_dispatch(kf)
+        if job is None:
+            return 0
+        return self._tri_harvest(kf, job)
+
+    def _tri_dispatch(self, kf: KeyFrame):
         """Epipolar search + triangulation with covisible neighbors
-        (reference ``local_mapping.py:560``).
+        (reference ``local_mapping.py:560``) — DISPATCH half.
 
         All covisible neighbors are matched in ONE vmapped device dispatch
-        with ONE packed readback
-        (:func:`ops.slam_matching.epipolar_triangulation_match_batch`);
-        triangulation (host f64 DLT — a jnp f64 request truncates to f32 on
-        TPU and the DLT eigensolve noise inflates drift measurably) and the
-        acceptance gates run on host, so the stage costs a single
-        host<->device round trip regardless of the covisibility degree
-        (~30 ms RTT each through the remote-TPU tunnel)."""
+        (:func:`ops.slam_matching.epipolar_triangulation_match_batch`); the
+        result is NOT read back here — the async scheduler polls it and runs
+        :meth:`_tri_harvest` when ready, so the readback never blocks the
+        frame loop behind other queued device work.  Triangulation (host f64
+        DLT — a jnp f64 request truncates to f32 on TPU and the DLT
+        eigensolve noise inflates drift measurably) and the acceptance gates
+        run on host at harvest time."""
         n_neighbors = (
             Parameters.kLocalMappingNumNeighborKeyFramesMonocular
             if self.sensor_type == SensorType.MONOCULAR
@@ -403,7 +461,7 @@ class LocalMapping:
                 )
             neighbors.append((kf2, F, epi))
         if not neighbors:
-            return 0
+            return None
 
         sigma2 = jnp.asarray(self.tracker.sigma2)
         free1 = (kf.points < 0) & kf.valid & ~kf.outliers
@@ -440,7 +498,7 @@ class LocalMapping:
             )
             Fs = np.stack([n[1] for n in neighbors] + [neighbors[0][1]] * pad)
             epis = np.stack([n[2] for n in neighbors] + [neighbors[0][2]] * pad)
-            idx2_all, _ = slam_matching.epipolar_triangulation_match_batch(
+            idx2_dev, _ = slam_matching.epipolar_triangulation_match_batch(
                 kf.dev("kps"), kf.dev("levels"), kf.dev("des"),
                 jnp.asarray(free1),
                 kps2, lvl2, des2,
@@ -448,11 +506,11 @@ class LocalMapping:
                 jnp.asarray(Fs, jnp.float32), jnp.asarray(epis, jnp.float32),
                 sigma2, max_dist,
             )
-            idx2_all = np.asarray(idx2_all)[:B]
+            return {"fut": idx2_dev, "neighbors": neighbors, "B": B}
         else:
             # mixed extraction shapes (e.g. after a config change): fall back
-            # to one dispatch per neighbor
-            idx2_list = []
+            # to one dispatch per neighbor (futures, harvested together)
+            futs = []
             for kf2, F, epi in neighbors:
                 free2 = (kf2.points < 0) & kf2.valid & ~kf2.outliers
                 idx2, _ = slam_matching.epipolar_triangulation_match(
@@ -463,9 +521,16 @@ class LocalMapping:
                     jnp.asarray(F, jnp.float32), jnp.asarray(epi),
                     sigma2, max_dist,
                 )
-                idx2_list.append(np.asarray(idx2))
-            idx2_all = idx2_list
+                futs.append(idx2)
+            return {"fut_list": futs, "neighbors": neighbors}
 
+    def _tri_harvest(self, kf: KeyFrame, job: dict) -> int:
+        """Host half after the match futures resolved: DLT + map insert."""
+        neighbors = job["neighbors"]
+        if "fut" in job:
+            idx2_all = np.asarray(job["fut"])[: job["B"]]
+        else:
+            idx2_all = [np.asarray(f) for f in job["fut_list"]]
         total_new = 0
         for b, (kf2, F, epi) in enumerate(neighbors):
             total_new += self._triangulate_pairs(kf, kf2, idx2_all[b])
@@ -518,8 +583,19 @@ class LocalMapping:
 
     # --------------------------------------------------------- fuse (device)
     def fuse_map_points(self, kf: KeyFrame):
+        """Blocking wrapper: dispatch + immediate harvest (sync paths)."""
+        job = self._fuse_dispatch(kf)
+        if job is None:
+            return
+        self._fuse_harvest(kf, job)
+
+    def _fuse_dispatch(self, kf: KeyFrame):
         """Project neighbors' points into kf and vice versa; merge duplicates
-        (reference ``geometry_matchers.search_and_fuse:662``).
+        (reference ``geometry_matchers.search_and_fuse:662``) — DISPATCH
+        half; the async scheduler polls the futures and applies the merges in
+        :meth:`_fuse_harvest` (both match directions are dispatched together
+        from the SAME pre-fuse point assignments; re-fusing a point the other
+        direction already bound is a no-op in harvest).
 
         TWO device round trips total, and (the remote-TPU-critical part)
         near-ZERO upload: candidate map points are gathered IN-GRAPH from the
@@ -545,28 +621,10 @@ class LocalMapping:
             float(Parameters.kMaxDescriptorDistance) * 0.5,
         )
 
-        def harvest(target_kf: KeyFrame, cand_pids: np.ndarray, best_kp):
-            for row, kp_idx in enumerate(best_kp):
-                if kp_idx < 0:
-                    continue
-                pid = int(cand_pids[row])
-                if not st.valid[pid]:
-                    continue
-                existing = int(target_kf.points[kp_idx])
-                if existing >= 0 and st.valid[existing]:
-                    if existing == pid:
-                        continue
-                    # keep the point with more observations
-                    if st.num_obs[existing] >= st.num_obs[pid]:
-                        self.map.replace_point(pid, existing)
-                    else:
-                        self.map.replace_point(existing, pid)
-                else:
-                    self.map.add_observation(pid, target_kf, int(kp_idx))
-
         def dispatch(cand_idx, valid_rows, targets):
             """One store-indexed device call: shared candidate rows
-            (cand_idx, padded) x per-target masks x stacked targets."""
+            (cand_idx, padded) x per-target masks x stacked targets.
+            Returns the DEVICE result (no readback here)."""
             best, _ = slam_matching.fuse_candidates_store_batch(
                 *store,
                 jnp.asarray(cand_idx, jnp.int32),
@@ -581,7 +639,10 @@ class LocalMapping:
                 ),
                 *shared_args,
             )
-            return np.asarray(best)
+            return best
+
+        # each entry: (future, targets: [KeyFrame], cand_pids)
+        parts = []
 
         # ---- neighbors' points into kf: one B=1 dispatch, M = map cap
         neigh_pids = self.map.get_local_map_points(neighbor_kids)
@@ -594,8 +655,7 @@ class LocalMapping:
             idx_p, vmask = pad_fixed(
                 cand.astype(np.int32), self._cap_map, fill=-1
             )
-            best = dispatch(idx_p, [vmask], [kf])
-            harvest(kf, cand, best[0, : len(cand)])
+            parts.append((dispatch(idx_p, [vmask], [kf]), [kf], cand))
 
         # ---- kf's points into the neighbors: the SAME candidate rows (kf's
         # points) for every target, filtered per target by an activity mask;
@@ -622,8 +682,8 @@ class LocalMapping:
                 row[: len(kf_pids)] &= keep
                 if (kf2.kps.shape != kf.kps.shape
                         or kf2.des.shape != kf.des.shape):
-                    best = dispatch(idx2_p, [row], [kf2])   # mixed shapes
-                    harvest(kf2, kf_pids, best[0, : len(kf_pids)])
+                    parts.append((dispatch(idx2_p, [row], [kf2]),   # mixed
+                                  [kf2], kf_pids))
                 else:
                     uniform.append(kf2)
                     mask_rows.append(row)
@@ -634,9 +694,39 @@ class LocalMapping:
                 pad = Bp - len(uniform)
                 targets = uniform + [uniform[0]] * pad
                 rows = mask_rows + [np.zeros_like(mask_rows[0])] * pad
-                best_all = dispatch(idx2_p, rows, targets)
-                for j, kf2 in enumerate(uniform):
-                    harvest(kf2, kf_pids, best_all[j, : len(kf_pids)])
+                parts.append((dispatch(idx2_p, rows, targets), uniform,
+                              kf_pids))
+        if not parts:
+            return None
+        return {"parts": parts}
+
+    def _fuse_harvest(self, kf: KeyFrame, job: dict):
+        """Apply the fuse matches (merge duplicates / add observations)."""
+        st = self.map.points
+
+        def harvest(target_kf: KeyFrame, cand_pids: np.ndarray, best_kp):
+            for row, kp_idx in enumerate(best_kp):
+                if kp_idx < 0:
+                    continue
+                pid = int(cand_pids[row])
+                if not st.valid[pid]:
+                    continue
+                existing = int(target_kf.points[kp_idx])
+                if existing >= 0 and st.valid[existing]:
+                    if existing == pid:
+                        continue
+                    # keep the point with more observations
+                    if st.num_obs[existing] >= st.num_obs[pid]:
+                        self.map.replace_point(pid, existing)
+                    else:
+                        self.map.replace_point(existing, pid)
+                else:
+                    self.map.add_observation(pid, target_kf, int(kp_idx))
+
+        for fut, targets, cand_pids in job["parts"]:
+            best = np.asarray(fut)
+            for j, kf2 in enumerate(targets):
+                harvest(kf2, cand_pids, best[j, : len(cand_pids)])
 
         self.map.update_point_descriptors_and_normals(
             np.unique(kf.points[kf.points >= 0])
@@ -937,7 +1027,9 @@ class LocalMapping:
                 self.map.keyframes[kid].lba_count += 1
         alive = st.valid[local_pids]
         st.pos[local_pids[alive]] = new_points[: len(local_pids)][alive]
-        self.map.store_version += 1
+        # pos-only delta: the device store ships just these rows' positions
+        # instead of a full re-upload (LBA applies land every few frames)
+        self.map._mark_dirty(local_pids[alive], pos_only=True)
 
     # --------------------------------------------------------- cull keyframes
     def cull_keyframes(self, kf: KeyFrame):

@@ -12,6 +12,10 @@ traversal.  Single-threaded host orchestration removes the reference's
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pyslam_tpu.config_parameters import Parameters
@@ -77,14 +81,52 @@ class MapPointStorage:
         return np.nonzero(self.valid[: self.size])[0]
 
 
+# fixed delta-scatter widths (NOT geometric buckets: each width x dtype is
+# its own XLA compile, and a new width appearing mid-run violated the
+# zero-steady-state-recompiles policy — bench caught jit(_scatter_rows)
+# compiling post-warmup).  FULL covers descriptor/normal refresh batches
+# (<= the per-KF tracked-point count); POS covers LBA position applies
+# (<= kLBAMaxPoints).  Larger deltas fall back to a full upload.
+DELTA_BUCKET_FULL = 2048
+DELTA_BUCKET_POS = 4096
+
+
+def _delta_idx(rows: np.ndarray, capacity: int, bucket: int):
+    """(padded int32 index, row-selector) at the FIXED bucket width: index
+    padding is ``capacity`` (out of bounds, dropped by the scatter); the
+    selector pads with row 0, whose payload lands out of bounds too."""
+    n = len(rows)
+    idx = np.full(bucket, capacity, np.int32)
+    idx[:n] = rows
+    sel = np.zeros(bucket, np.int64)
+    sel[:n] = rows
+    return idx, sel
+
+
+@jax.jit
+def _scatter_rows(arr_dev, idx, rows):
+    """Apply a row delta to a device-resident store array (padding dropped).
+
+    The capacity-sized device-side copy this implies is an on-chip HBM copy
+    (~GB/s-cheap), not a tunnel transfer — donation is deliberately NOT used
+    so earlier-dispatched graphs holding the old buffer stay valid."""
+    return arr_dev.at[idx].set(jnp.asarray(rows), mode="drop")
+
+
 class Map:
     def __init__(self):
         self.points = MapPointStorage()
         self.keyframes: dict[int, KeyFrame] = {}       # kid -> KeyFrame
         self.keyframe_order: list[int] = []            # insertion order
         # bumped on every point-store mutation: device-resident caches of
-        # the store (Tracking.track_fused) key on it
-        self.store_version = 0
+        # the store (Tracking.track_fused) key on it.  Internal mutators
+        # call _mark_dirty (delta-tracked); external writers assigning
+        # ``store_version`` directly trip the overflow flag and force a full
+        # re-upload (see device_store)
+        self._store_version = 0
+        self._dirty_pos: set[int] = set()    # rows whose pos changed
+        self._dirty_full: set[int] = set()   # rows with any field changed
+        self._dirty_overflow = True          # True => full upload needed
         # observations: pid -> {kid: kp_idx} (authoritative store; a native
         # C++ mirror accelerates covisibility counting when the toolchain is
         # available — see pyslam_tpu.native)
@@ -100,6 +142,7 @@ class Map:
         # here, not on a process-global class attribute
         self.next_kid = 0
         self._dev_store = None   # see device_store()
+        self._dev_version = -1   # store_version the device copy reflects
         self._native = None
         try:
             from pyslam_tpu.native import NativeObsGraph
@@ -108,18 +151,58 @@ class Map:
         except Exception:
             self._native = None
 
+    # store_version stays the public cache key (consumers compare it), but
+    # plain ``map.store_version += 1`` from outside (GBA, loop correction —
+    # whole-map pose/point rewrites) must invalidate the delta state: the
+    # setter trips the overflow flag, while internal mutators use
+    # _mark_dirty to record exactly which rows changed.
+    @property
+    def store_version(self) -> int:
+        return self._store_version
+
+    @store_version.setter
+    def store_version(self, v: int):
+        self._store_version = v
+        self._dirty_overflow = True
+
+    def _mark_dirty(self, pids, pos_only: bool = False):
+        """Record changed store rows + bump the version WITHOUT tripping the
+        full-upload flag (device_store applies these as scatter deltas)."""
+        self._store_version += 1
+        tgt = self._dirty_pos if pos_only else self._dirty_full
+        if np.isscalar(pids):
+            tgt.add(int(pids))
+        else:
+            tgt.update(int(p) for p in np.atleast_1d(pids))
+
     def device_store(self):
         """Device-resident copy of the point-store arrays
         (pos f32, desc, normal, min_dist, max_dist-sanitized, valid),
-        re-uploaded only when ``store_version`` changes.  Shared by the fused
-        tracking step AND the back-end's fuse stage so the ~capacity*0.3 kB
-        payload crosses the tunnel once per keyframe, not once per consumer."""
+        shared by the fused tracking step AND the back-end's fuse stage.
+
+        Re-upload policy (the remote-TPU-critical part): the full store is
+        capacity x ~0.3 kB and mutates every frame (LBA chunk applies,
+        point adds, descriptor refreshes) — re-uploading it whole put
+        multi-MB + several RTTs in front of every frame's tracking readback.
+        Internal mutators record dirty rows instead, and this method ships
+        ONLY those rows (index + row payload) and scatters them into the
+        device arrays in-graph; the full upload happens on first use,
+        capacity growth, descriptor-layout change, or an external
+        ``store_version`` write (GBA / loop correction rewrite everything)."""
         import jax.numpy as jnp
 
         st = self.points
-        key = (self.store_version, st.capacity, st.desc.shape[1],
-               str(st.desc.dtype))
-        if self._dev_store is None or self._dev_store[0] != key:
+        key = (st.capacity, st.desc.shape[1], str(st.desc.dtype))
+        n_full = len(self._dirty_full)
+        n_pos = len(self._dirty_pos | self._dirty_full)
+        if (
+            self._dev_store is None
+            or self._dev_store[0] != key
+            or self._dirty_overflow
+            or n_full > DELTA_BUCKET_FULL
+            or n_pos > DELTA_BUCKET_POS
+            or n_pos > st.capacity // 4
+        ):
             self._dev_store = (key, (
                 jnp.asarray(st.pos.astype(np.float32)),
                 jnp.asarray(st.desc),
@@ -129,6 +212,38 @@ class Map:
                                      st.max_dist, 1.0).astype(np.float32)),
                 jnp.asarray(st.valid),
             ))
+            self._dirty_overflow = False
+            self._dirty_pos.clear()
+            self._dirty_full.clear()
+            self._dev_version = self._store_version
+            return self._dev_store[1]
+        if self._dev_version != self._store_version:
+            pos_d, desc_d, norm_d, mind_d, maxd_d, valid_d = self._dev_store[1]
+            full = np.fromiter(self._dirty_full, np.int64,
+                               len(self._dirty_full))
+            if len(full):
+                idx, sel = _delta_idx(full, st.capacity, DELTA_BUCKET_FULL)
+                desc_d = _scatter_rows(desc_d, idx, st.desc[sel])
+                norm_d = _scatter_rows(
+                    norm_d, idx, st.normal[sel].astype(np.float32))
+                mind_d = _scatter_rows(
+                    mind_d, idx, st.min_dist[sel].astype(np.float32))
+                maxd_d = _scatter_rows(
+                    maxd_d, idx,
+                    np.where(np.isfinite(st.max_dist[sel]),
+                             st.max_dist[sel], 1.0).astype(np.float32))
+                valid_d = _scatter_rows(valid_d, idx, st.valid[sel])
+            allpos = np.asarray(
+                sorted(self._dirty_pos | self._dirty_full), np.int64)
+            if len(allpos):
+                idx, sel = _delta_idx(allpos, st.capacity, DELTA_BUCKET_POS)
+                pos_d = _scatter_rows(
+                    pos_d, idx, st.pos[sel].astype(np.float32))
+            self._dev_store = (key, (pos_d, desc_d, norm_d, mind_d, maxd_d,
+                                     valid_d))
+            self._dirty_pos.clear()
+            self._dirty_full.clear()
+            self._dev_version = self._store_version
         return self._dev_store[1]
 
     # ------------------------------------------------------------ keyframes
@@ -204,7 +319,7 @@ class Map:
         return False  # refined later; culling uses num_obs thresholds
 
     def delete_point(self, pid: int):
-        self.store_version += 1
+        self._mark_dirty(pid)
         if self._native is not None:
             self._native.remove_point(int(pid))
         obs = self.observations.pop(pid, {})
@@ -221,7 +336,7 @@ class Map:
         observations of old to new, merge stats."""
         if old_pid == new_pid:
             return
-        self.store_version += 1
+        self._mark_dirty([old_pid, new_pid])
         obs_old = self.observations.pop(old_pid, {})
         if self._native is not None:
             self._native.remove_point(int(old_pid))
@@ -272,8 +387,8 @@ class Map:
         n = len(kp_idxs)
         if n == 0:
             return np.zeros(0, np.int64)
-        self.store_version += 1
         pids = self.points.new_points(n)
+        self._mark_dirty(pids)
         st = self.points
         st.ensure_desc_layout(kf.des)
         st.pos[pids] = positions
@@ -304,57 +419,139 @@ class Map:
             st.max_dist[pids] / sf[n_levels - 1]
         ).astype(np.float32)
 
+    # per-point observation cap for the best-descriptor update: the median-
+    # distance argmin stabilizes after a handful of views, and the batched
+    # host pass below is O(P * CAP^2 * D)
+    _DESC_UPDATE_OBS_CAP = 8
+
     def update_point_descriptors_and_normals(self, pids):
         """Recompute best descriptor (min-median-distance, reference
-        map_point.py best-descriptor update) and mean viewing direction."""
-        self.store_version += 1
+        map_point.py best-descriptor update) and mean viewing direction.
+
+        Vectorized over the whole pid batch: observation rows are flattened
+        once, descriptors/levels/centers gathered per KEYFRAME (one fancy
+        index per touched keyframe instead of one per observation), and the
+        median-distance argmin runs as one padded (P, CAP, CAP) computation
+        — the per-point Python loop cost ~100 ms/keyframe at 2k points,
+        which dominated the local-mapping host slice."""
+        self._mark_dirty(pids)
         st = self.points
+        CAP = self._DESC_UPDATE_OBS_CAP
+        # ---- flatten observation rows (latest CAP per point; dicts keep
+        # insertion order so the tail = most recent observations) + the
+        # reference (oldest-kid) observation for the scale range
+        rows_pid: list[int] = []
+        rows_kid: list[int] = []
+        rows_idx: list[int] = []
+        ref_rows: list[tuple[int, int, int]] = []   # (pid, kid, kp_idx)
         for pid in np.atleast_1d(pids):
             pid = int(pid)
             obs = self.observations.get(pid)
             if not obs or not st.valid[pid]:
                 continue
-            descs, dirs, dists, levels, sfs = [], [], [], [], None
-            for kid, kp_idx in obs.items():
-                kf = self.keyframes.get(kid)
-                if kf is None:
-                    continue
-                descs.append(kf.des[kp_idx])
-                v = st.pos[pid] - kf.Ow
-                nv = np.linalg.norm(v)
-                dirs.append(v / max(nv, 1e-9))
-                dists.append(nv)
-                levels.append(kf.levels[kp_idx])
-                sfs = kf.feature_tracker.scale_factors
-            if not descs:
+            items = [(k, i) for k, i in obs.items() if k in self.keyframes]
+            if not items:
                 continue
-            D = np.stack(descs)
-            if len(descs) > 2:
-                # tiny (n_obs x n_obs) distance matrix: HOST numpy — a device
-                # dispatch per map point would dominate local mapping time
-                if np.issubdtype(D.dtype, np.floating):
-                    diff = D[:, None, :] - D[None, :, :]
-                    dm = np.sqrt((diff * diff).sum(-1))
-                else:
-                    dd = D.astype(np.int16)
-                    dm = np.abs(dd[:, None, :] - dd[None, :, :]).sum(-1)
-                best = int(np.argmin(np.median(dm, axis=1)))
-            else:
-                best = 0
-            st.desc[pid] = D[best]
-            st.normal[pid] = np.mean(dirs, axis=0)
-            n = np.linalg.norm(st.normal[pid])
-            if n > 1e-9:
-                st.normal[pid] /= n
-            # scale-invariance range from the reference observation
+            for kid, ki in items[-CAP:]:
+                rows_pid.append(pid)
+                rows_kid.append(kid)
+                rows_idx.append(ki)
             ref_kid = min(obs.keys())
-            ref_kf = self.keyframes.get(ref_kid)
-            if ref_kf is not None and sfs is not None:
-                kp_idx = obs[ref_kid]
-                dist = np.linalg.norm(st.pos[pid] - ref_kf.Ow)
-                level = ref_kf.levels[kp_idx]
-                st.max_dist[pid] = dist * sfs[level]
-                st.min_dist[pid] = st.max_dist[pid] / sfs[-1]
+            if ref_kid in self.keyframes:
+                ref_rows.append((pid, ref_kid, obs[ref_kid]))
+        if not rows_pid:
+            return
+        rows_pid = np.asarray(rows_pid, np.int64)
+        rows_kid = np.asarray(rows_kid, np.int64)
+        rows_idx = np.asarray(rows_idx, np.int64)
+        # grouping below requires pid-contiguous rows in ascending order;
+        # callers may pass unsorted pids
+        order = np.argsort(rows_pid, kind="stable")
+        rows_pid, rows_kid, rows_idx = (
+            rows_pid[order], rows_kid[order], rows_idx[order]
+        )
+        n_rows = len(rows_pid)
+
+        # ---- gather per-keyframe payloads: one fancy index per keyframe
+        any_kf = self.keyframes[int(rows_kid[0])]
+        desc_dim = any_kf.des.shape[1]
+        desc_dtype = any_kf.des.dtype
+        descs = np.empty((n_rows, desc_dim), desc_dtype)
+        ows = np.empty((n_rows, 3), np.float64)
+        levels = np.empty((n_rows,), np.int64)
+        sfs = None
+        for kid in np.unique(rows_kid):
+            kf = self.keyframes[int(kid)]
+            sel = rows_kid == kid
+            descs[sel] = kf.des[rows_idx[sel]]
+            levels[sel] = kf.levels[rows_idx[sel]]
+            ows[sel] = kf.Ow
+            sfs = kf.feature_tracker.scale_factors
+
+        # ---- group rows by pid into a (P, CAP) padded layout
+        upids, starts = np.unique(rows_pid, return_index=True)
+        # rows are emitted pid-contiguously above, so each pid's rows are
+        # the slice [start, start+count)
+        counts = np.diff(np.append(starts, n_rows))
+        P = len(upids)
+        col = np.arange(n_rows) - np.repeat(starts, counts)
+        grid = np.zeros((P, CAP), np.int64)        # row index per (p, j)
+        gvalid = np.zeros((P, CAP), bool)
+        prow = np.repeat(np.arange(P), counts)
+        grid[prow, col] = np.arange(n_rows)
+        gvalid[prow, col] = True
+
+        # ---- mean viewing direction (normalized mean of unit vectors)
+        v = st.pos[rows_pid] - ows
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+        vsum = np.zeros((P, 3))
+        np.add.at(vsum, prow, v)
+        nrm = np.linalg.norm(vsum, axis=1, keepdims=True)
+        normals = np.where(nrm > 1e-9, vsum / np.maximum(nrm, 1e-9),
+                           vsum / counts[:, None])
+        st.normal[upids] = normals.astype(np.float32)
+
+        # ---- best descriptor: min median distance to co-observations
+        D = descs[grid]                             # (P, CAP, desc_dim)
+        if np.issubdtype(desc_dtype, np.floating):
+            dot = np.einsum("pid,pjd->pij", D, D, optimize=True)
+            sq = np.einsum("pid,pid->pi", D, D, optimize=True)
+            dm = np.sqrt(np.maximum(sq[:, :, None] + sq[:, None, :]
+                                    - 2.0 * dot, 0.0))
+        else:
+            # unpacked 0/1 bit descriptors: hamming = |a|+|b|-2 a.b
+            Df = D.astype(np.float32)
+            dot = np.einsum("pid,pjd->pij", Df, Df, optimize=True)
+            pop = Df.sum(-1)
+            dm = pop[:, :, None] + pop[:, None, :] - 2.0 * dot
+        BIG = 1e12
+        pair_ok = gvalid[:, :, None] & gvalid[:, None, :]
+        dm = np.where(pair_ok, dm, np.nan)
+        # self-distance 0 on every diagonal: padded rows then have one
+        # non-nan entry (no all-NaN-slice warnings); they are masked below
+        ii = np.arange(CAP)
+        dm[:, ii, ii] = 0.0
+        med = np.nanmedian(dm, axis=2)              # (P, CAP)
+        med = np.where(gvalid, med, BIG)
+        best = np.argmin(med, axis=1)
+        st.desc[upids] = descs[grid[np.arange(P), best]]
+
+        # ---- scale-invariance range from the reference observation
+        if ref_rows and sfs is not None:
+            r_pid = np.asarray([r[0] for r in ref_rows], np.int64)
+            r_kid = np.asarray([r[1] for r in ref_rows], np.int64)
+            r_idx = np.asarray([r[2] for r in ref_rows], np.int64)
+            r_ow = np.empty((len(r_pid), 3), np.float64)
+            r_lvl = np.empty((len(r_pid),), np.int64)
+            for kid in np.unique(r_kid):
+                kf = self.keyframes[int(kid)]
+                sel = r_kid == kid
+                r_ow[sel] = kf.Ow
+                r_lvl[sel] = kf.levels[r_idx[sel]]
+            dist = np.linalg.norm(st.pos[r_pid] - r_ow, axis=1)
+            st.max_dist[r_pid] = (dist * sfs[r_lvl]).astype(np.float32)
+            st.min_dist[r_pid] = (st.max_dist[r_pid] / sfs[-1]).astype(
+                np.float32)
 
     # --------------------------------------------------------- covisibility
     def update_connections(self, kf: KeyFrame, min_weight: int | None = None):

@@ -246,9 +246,13 @@ class Slam:
         return out
 
     def timings_summary(self) -> str:
+        # all-calls average x call count (windowed averages hide how OFTEN a
+        # stage ran, which is the attribution that matters for stages that
+        # only run on fallback/keyframe frames)
         return "\n".join(
             f"[{mod}] " + " ".join(
-                f"{k}={v['avg_ms']:.1f}ms" for k, v in sorted(st.items()))
+                f"{k}={v['total_ms'] / max(v['calls'], 1):.1f}ms*{v['calls']}"
+                for k, v in sorted(st.items()))
             for mod, st in self.timings().items() if st)
 
     def set_volumetric_integrator(self, integrator):
@@ -273,6 +277,8 @@ class Slam:
         self.local_mapping.map = self.map
         self.local_mapping.queue.clear()
         self.local_mapping._job = None
+        self.local_mapping._tri_job = None
+        self.local_mapping._fuse_job = None
         self.local_mapping._lba = None
         self.local_mapping.opt_abort_flag = False
         self.tracking.map = self.map

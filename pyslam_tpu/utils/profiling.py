@@ -53,13 +53,19 @@ class StageTimings:
                 "last_ms": 1000.0 * t.elapsed,
                 "avg_ms": 1000.0 * t.moving_average.average(),
                 "fps": t.fps,
+                "calls": t.calls,
+                "total_ms": 1000.0 * t.total,
             }
             for k, t in self.timers.items()
         }
 
     def summary(self) -> str:
-        parts = [f"{k}={v['avg_ms']:.1f}ms"
-                 for k, v in sorted(self.report().items())]
+        # avg over ALL calls x count: the attribution that matters when a
+        # stage runs on only some frames (windowed averages hide counts)
+        parts = [
+            f"{k}={v['total_ms'] / max(v['calls'], 1):.1f}ms*{v['calls']}"
+            for k, v in sorted(self.report().items())
+        ]
         prefix = f"[{self.name}] " if self.name else ""
         return prefix + " ".join(parts)
 

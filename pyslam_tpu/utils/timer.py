@@ -49,10 +49,14 @@ class TimerFps(Timer):
     def __init__(self, name: str = "", average_width: int = 10, is_verbose: bool = False):
         super().__init__(name, is_verbose)
         self.moving_average = MovingAverage(average_width)
+        self.calls = 0         # total refreshes (attribution: avg * calls)
+        self.total = 0.0       # total seconds across ALL calls (not windowed)
 
     def refresh(self) -> float:
         e = super().refresh()
         self.moving_average.add(e)
+        self.calls += 1
+        self.total += e
         return e
 
     @property
