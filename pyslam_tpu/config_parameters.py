@@ -127,7 +127,14 @@ class Parameters:
     kOptimizerPoseItsPerRound = 10          # x 10 LM iterations
     kChi2Mono = 5.991                       # chi-square 2 dof 95%
     kChi2Stereo = 7.815                     # chi-square 3 dof 95%
-    kOptimizerLBAIterations = 10
+    # 6 LM iterations in two 3-iteration chunks: each keyframe's window is
+    # warm-started from the last one (poses/points barely move between
+    # consecutive LBAs), so the marginal error reduction of iterations 7-10
+    # is below the triangulation noise floor while their device time
+    # (~19 ms/chunk at the padded 56/4096/16384 shape) lands on the single
+    # queue in front of every frame's tracking readback.  (reference g2o
+    # runs 5+10, but from a COLD graph each time, optimizer_g2o.py:824)
+    kOptimizerLBAIterations = 6
     # LBA problem caps = the ONE padded TPU shape (cameras / points /
     # observations); each distinct shape is a separate XLA compile, so the
     # TPU path always pads to exactly these (see local_mapping._lba_build)

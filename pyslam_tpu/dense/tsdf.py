@@ -24,7 +24,7 @@ from pyslam_tpu.ops import voxel_hash
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stride", "band_steps"),
+    static_argnames=("stride", "band_steps", "phase", "phases"),
 )
 def depth_to_voxel_updates(
     depth: jnp.ndarray,      # (H,W) metric depth, <=0 invalid
@@ -36,17 +36,30 @@ def depth_to_voxel_updates(
     depth_trunc: float,
     stride: int = 2,
     band_steps: int = 5,     # voxels on each side of the surface
+    phase: int = 0,          # row-interleaved subset for chunked dispatch
+    phases: int = 1,
 ):
-    """Emit (coords, sdf, w, color, valid) voxel updates for one depth image."""
+    """Emit (coords, sdf, w, color, valid) voxel updates for one depth image.
+
+    ``phases > 1`` emits only every ``phases``-th strided row (offset
+    ``phase``): the integrator dispatches one phase per frame so a single
+    keyframe's insert never parks its full random-access cost on the device
+    queue in front of the next frame's tracking readback.  All phases share
+    one compiled shape (rows are padded to the ceiling and masked)."""
     H, W = depth.shape
-    ys = jnp.arange(0, H, stride)
+    n_strided = -(-H // stride)                  # ceil(H/stride)
+    n_rows = -(-n_strided // phases)             # ceil over phases
+    ys_raw = (phase + phases * jnp.arange(n_rows)) * stride
+    row_ok = ys_raw < H
+    ys = jnp.minimum(ys_raw, H - 1)
     xs = jnp.arange(0, W, stride)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ok_row = jnp.broadcast_to(row_ok[:, None], gy.shape).reshape(-1)
     gy = gy.reshape(-1)
     gx = gx.reshape(-1)
     d = depth[gy, gx]
     inten = intensity[gy, gx]
-    valid_px = (d > 0.05) & (d < depth_trunc)
+    valid_px = (d > 0.05) & (d < depth_trunc) & ok_row
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     # unit-z ray directions in camera frame
@@ -119,7 +132,11 @@ class TSDFVolume:
         self.table = voxel_hash.make_table(self.capacity)
         self.num_integrated = 0
 
-    def integrate(self, depth, intensity, Twc, K):
+    def integrate(self, depth, intensity, Twc, K, phase: int = 0,
+                  phases: int = 1):
+        """Fuse one depth image (or, with ``phases > 1``, one row-interleaved
+        subset of it — the async integrator dispatches one phase per frame to
+        bound the per-frame device burst)."""
         if self.stride is None:
             fx = float(np.asarray(K)[0, 0])
             self.stride = int(
@@ -136,11 +153,14 @@ class TSDFVolume:
             self.depth_trunc,
             self.stride,
             self.band_steps,
+            phase,
+            phases,
         )
         self.table = voxel_hash.insert_and_accumulate(
             self.table, coords, sdf, w, col, valid
         )
-        self.num_integrated += 1
+        if phase == phases - 1:
+            self.num_integrated += 1
 
     def reset(self):
         self.table = voxel_hash.make_table(self.capacity)

@@ -102,19 +102,29 @@ class VolumetricIntegrator:
         self.snapshots[kf.kid] = snap
         self._kf_ref = kf
 
+    # TSDF insert phases per keyframe when integrating asynchronously: the
+    # insert's random-access cost is linear in update count, so two row-
+    # interleaved halves dispatched on consecutive frames halve the largest
+    # single graph the frame-critical readback can get stuck behind
+    _TSDF_PHASES = 2
+
     def step(self) -> bool:
         """Advance integration by ONE bounded device dispatch.
 
-        A keyframe integration is two device graphs — depth estimation (SGM
-        on the stereo pair) and the TSDF update — that together cost more
-        than a frame budget.  Dispatching them in one frame slot parks
-        ~200 ms of device work in front of the NEXT frame's tracking
+        A keyframe integration is several device graphs — depth estimation
+        (SGM on the stereo pair) and the phased TSDF updates — that together
+        cost more than a frame budget.  Dispatching them in one frame slot
+        parks ~200 ms of device work in front of the NEXT frame's tracking
         readback (single device queue), so the frame loop calls step() once
-        per frame and each call issues at most one of the two stages."""
+        per frame and each call issues exactly one stage: SGM, then one
+        TSDF phase per call."""
         if self._staged is not None:
-            snap, depth_dev = self._staged
+            snap, depth_dev, phase, est_dev = self._staged
             self._staged = None
-            self._integrate_depth(snap, depth_dev)
+            if phase + 1 < self._TSDF_PHASES:
+                self._staged = (snap, depth_dev, phase + 1, est_dev)
+            self._integrate_depth(snap, depth_dev, estimated_on_device=est_dev,
+                                  phase=phase, phases=self._TSDF_PHASES)
             return True
         if not self.queue:
             return False
@@ -148,9 +158,9 @@ class VolumetricIntegrator:
                     snap.intensity, img_right=snap.img_right
                 )
                 if split:
-                    # stage 2 (TSDF update) runs on the NEXT step() call;
-                    # the SGM graph dispatched above computes meanwhile
-                    self._staged = (snap, depth_dev)
+                    # TSDF phases run on the NEXT step() calls; the SGM
+                    # graph dispatched above computes meanwhile
+                    self._staged = (snap, depth_dev, 0, True)
                     return
                 snap.depth = depth_dev
                 estimated_on_device = True
@@ -161,11 +171,21 @@ class VolumetricIntegrator:
                 snap.depth = np.where(np.isfinite(depth), depth, 0.0).astype(
                     np.float32
                 )
+        if split and self._TSDF_PHASES > 1:
+            # host-provided depth (RGBD / learned estimator): phase the TSDF
+            # insert across step() calls exactly like the SGM path — phase 0
+            # runs now, the rest are staged
+            self._staged = (snap, snap.depth, 1, estimated_on_device)
+            self._integrate_depth(snap, snap.depth,
+                                  estimated_on_device=estimated_on_device,
+                                  phase=0, phases=self._TSDF_PHASES)
+            return
         self._integrate_depth(snap, snap.depth,
                               estimated_on_device=estimated_on_device)
 
     def _integrate_depth(self, snap: KeyframeSnapshot, depth,
-                         estimated_on_device: bool = True):
+                         estimated_on_device: bool = True,
+                         phase: int = 0, phases: int = 1):
         intensity = (
             snap.intensity
             if snap.intensity is not None
@@ -175,8 +195,9 @@ class VolumetricIntegrator:
         if intensity.ndim == 3:
             intensity = intensity.mean(axis=-1)
         snap.depth = depth
-        self.volume.integrate(depth, intensity, snap.Twc, self.camera.K)
-        if estimated_on_device:
+        self.volume.integrate(depth, intensity, snap.Twc, self.camera.K,
+                              phase=phase, phases=phases)
+        if estimated_on_device and phase == phases - 1:
             # don't pin a full-resolution device depth per keyframe for the
             # whole session; rebuild() re-estimates on the same fast path
             snap.depth = None

@@ -318,3 +318,11 @@ def fuse_candidates_store_batch(
 
     return jax.vmap(one)(cand_valid, kps, kp_level, kp_desc, kp_valid,
                          kp_ur, Tcw)
+
+
+# NOTE (negative result, kept for the record): a "packed" variant of the
+# two batch matchers that took per-keyframe device handles as jit TUPLE
+# args and stacked them in-graph (to save ~8 jnp.stack dispatches per
+# keyframe) measured ~5x SLOWER end-to-end through the axon remote backend
+# — its per-ARGUMENT marshalling cost (50+ leaves) dwarfs the per-dispatch
+# RTT the stacks cost.  Callers deliberately stack with jnp.stack instead.

@@ -498,6 +498,11 @@ class LocalMapping:
             )
             Fs = np.stack([n[1] for n in neighbors] + [neighbors[0][1]] * pad)
             epis = np.stack([n[2] for n in neighbors] + [neighbors[0][2]] * pad)
+            # NOTE: the neighbor payloads are stacked with separate jnp.stack
+            # dispatches on purpose — a "packed" variant passing the 10
+            # per-keyframe handles as jit tuple args made this stage ~5x
+            # SLOWER through the axon tunnel (per-ARGUMENT marshalling cost
+            # dominates per-dispatch cost there)
             idx2_dev, _ = slam_matching.epipolar_triangulation_match_batch(
                 kf.dev("kps"), kf.dev("levels"), kf.dev("des"),
                 jnp.asarray(free1),
@@ -624,7 +629,9 @@ class LocalMapping:
         def dispatch(cand_idx, valid_rows, targets):
             """One store-indexed device call: shared candidate rows
             (cand_idx, padded) x per-target masks x stacked targets.
-            Returns the DEVICE result (no readback here)."""
+            Returns the DEVICE result (no readback here).  Stacking uses
+            separate jnp.stack dispatches on purpose — see the note in
+            _tri_dispatch (axon per-argument marshalling cost)."""
             best, _ = slam_matching.fuse_candidates_store_batch(
                 *store,
                 jnp.asarray(cand_idx, jnp.int32),
@@ -645,9 +652,11 @@ class LocalMapping:
         parts = []
 
         # ---- neighbors' points into kf: one B=1 dispatch, M = map cap
-        neigh_pids = self.map.get_local_map_points(neighbor_kids)
-        own = set(int(p) for p in kf.points[kf.points >= 0])
-        cand = np.asarray([p for p in neigh_pids if p not in own], np.int64)
+        neigh_pids = np.asarray(
+            self.map.get_local_map_points(neighbor_kids), np.int64
+        )
+        own = kf.points[kf.points >= 0]
+        cand = neigh_pids[~np.isin(neigh_pids, own)]
         if len(cand):
             cand = cap_select(
                 cand, self._cap_map, score=st.num_obs[cand]
@@ -672,10 +681,7 @@ class LocalMapping:
                 kf2 = self.map.keyframes.get(kid2)
                 if kf2 is None:
                     continue
-                own2 = set(int(p) for p in kf2.points[kf2.points >= 0])
-                keep = np.fromiter(
-                    (int(p) not in own2 for p in kf_pids), bool, len(kf_pids)
-                )
+                keep = ~np.isin(kf_pids, kf2.points[kf2.points >= 0])
                 if not keep.any():
                     continue
                 row = vmask2.copy()
