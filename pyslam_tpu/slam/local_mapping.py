@@ -161,11 +161,16 @@ class LocalMapping:
         max_slices = 1 if budget <= 0 else self._N_SLICES
         n_slices = 0
         for _ in range(64):   # progress budget (each iteration is bounded)
-            if self._lba is not None:
-                if not self._lba_poll(block=False):
-                    break      # device busy: tracking continues
+            # LBA chunks are serviced alongside the job slices, not in front
+            # of them: waiting for the whole chunked LBA before letting the
+            # job finish (cull + handoff) stretched every keyframe job to
+            # 5+ frames, which throttled keyframe insertion through the
+            # queue cap and thinned map coverage (tracking losses on the
+            # 60-frame TPU stereo run).  _lba_apply already guards against
+            # keyframes culled while its chunks were in flight.
+            if self._lba is not None and self._lba_poll(block=False):
                 did = True
-                continue
+                continue      # chunk transition done: poll again
             if self._job is None:
                 if not self.queue or not start_new_jobs:
                     break
@@ -254,6 +259,15 @@ class LocalMapping:
                 self._fuse_job = None
                 self._fuse_harvest(kf, job)
         elif s == 4:
+            if self._lba is not None:
+                # LBA slot still busy (previous window's chunks in flight):
+                # wait for it — push_keyframe already set the abort flag if
+                # a newer keyframe is pending, so the slot frees quickly
+                if block:
+                    while self._lba is not None:
+                        self._lba_poll(block=True)
+                else:
+                    return False
             if self.map.num_keyframes() > 2:
                 with t.stage("lba_dispatch"):
                     self._lba_dispatch(kf)
