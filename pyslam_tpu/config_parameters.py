@@ -269,6 +269,12 @@ class Parameters:
     kLogKFinfoToFile = False
     kUseDynamicDesDistanceTh = True         # adaptive descriptor threshold (MAD stats)
     kUseFusedTrackingStep = True            # one-dispatch OK-path tracking (ops/fused_tracking.py)
+    # frames in flight on the OK path: 2 = chained pipelining (frame N's
+    # tracking graph consumes frame N-1's DEVICE output; the host reads each
+    # frame back one call later, hiding the tunnel RTT + device-queue share
+    # behind a full frame of wall time — ops/fused_tracking.py
+    # track_frame_fused_chained).  1 = dispatch + same-frame readback.
+    kTrackingPipelineDepth = 2
 
     # ---------------------------------------------------------------- TPU
     kDeviceMatchTileSize = 512              # pallas tile for distance kernels

@@ -282,6 +282,10 @@ class ORB2Extractor:
         harvests ``meta`` when host fields are actually needed — the
         pipelined frame loop dispatches the next frame's extraction and the
         current frame's tracking step before paying any tunnel round trip."""
+        from pyslam_tpu.utils.profiling import device_counters
+
+        device_counters.dispatches += 1
+        device_counters.uploads += 2   # the stereo image pair
         return _extract_stereo_jit(
             jnp.asarray(img_l), jnp.asarray(img_r),
             jnp.float32(bf), jnp.float32(max_disp),
@@ -297,6 +301,9 @@ class ORB2Extractor:
         descriptors never re-cross the tunnel)."""
         meta, desc = self.extract_stereo_deferred(
             img_l, img_r, bf, max_disp, max_distance, row_tol)
+        from pyslam_tpu.utils.profiling import device_counters
+
+        device_counters.readbacks += 1
         meta = np.asarray(meta)
         fd = FeatureData(
             xy=np.ascontiguousarray(meta[:, 0:2]),

@@ -147,11 +147,17 @@ def track_frame_fused_indexed(
     radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
     min_prev_matches: int = 20,
 ):
-    """track_frame_fused with the point-store gathers INSIDE the graph.
+    """track_frame_fused with the point-store gathers INSIDE the graph, and
+    the match-code segment RESOLVED to absolute store rows (map-point ids)
+    in-graph.
 
     The host keeps one device copy of the map arrays (invalidated by
     ``Map.store_version``); per frame only the index vectors cross the
-    tunnel."""
+    tunnel.  Resolving codes to store rows on device (a) spares the host the
+    row bookkeeping and (b) lets the NEXT frame's graph consume this output
+    directly as its previous-frame tracked set (``track_frame_fused_chained``
+    — the 2-frames-in-flight pipeline), because store rows, unlike local
+    match codes, are meaningful across frames."""
 
     def gather(idx):
         cl = jnp.clip(idx, 0)
@@ -164,13 +170,28 @@ def track_frame_fused_indexed(
 
     prev = gather(idx_prev)
     mp = gather(idx_map)
-    return track_frame_fused(
+    packed = track_frame_fused(
         kps, kp_level, kp_des, kp_valid, kp_ur,
         *prev, *mp,
         Tcw_pred, K, image_bounds, scale_factors, sigma2_table, bf,
         radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
         min_prev_matches=min_prev_matches,
     )
+    # resolve match codes -> store rows (exact in f32: rows < capacity << 2^24)
+    N = kps.shape[0]
+    Mp = idx_prev.shape[0]
+    Mm = idx_map.shape[0]
+    code = packed[19 : 19 + N].astype(jnp.int32)
+    row = jnp.where(
+        code >= 0,
+        jnp.where(
+            code < Mp,
+            idx_prev[jnp.clip(code, 0, Mp - 1)],
+            idx_map[jnp.clip(code - Mp, 0, Mm - 1)],
+        ),
+        -1,
+    )
+    return packed.at[19 : 19 + N].set(row.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("min_prev_matches",))
@@ -206,3 +227,69 @@ def track_frame_fused_meta(
         min_prev_matches=min_prev_matches,
     )
     return jnp.concatenate([packed, meta.reshape(-1)])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_prev_matches", "cap_prev")
+)
+def track_frame_fused_chained(
+    # frame N's extraction handles (device — never visited the host)
+    meta,                      # (N,9) f32 packed per-kp meta
+    kp_des,                    # (N,D) descriptors
+    # frame N-1's PACKED OUTPUT buffer, still on device: pose at [:16],
+    # resolved store rows at [19:19+N], inlier flags at [19+N:19+2N].
+    # Accepts either layout (with or without the trailing meta block).
+    prev_out,
+    # device-resident point store (current version)
+    store_pos, store_desc, store_normal, store_min_d, store_max_d,
+    store_valid,
+    # local-map store rows (host-computed; one frame STALE in the pipelined
+    # loop — the covisibility neighborhood moves slowly, and KF-frame
+    # resyncs bound the staleness to a single frame)
+    idx_map,
+    # motion-model velocity Tcw_delta (one-frame-stale host estimate): the
+    # pose PREDICTION for frame N is computed in-graph as vel @ T_{N-1}
+    # because T_{N-1} exists only on device at dispatch time
+    vel,
+    K, image_bounds, scale_factors, sigma2_table, bf,
+    radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
+    min_prev_matches: int = 20,
+    cap_prev: int = 2048,
+):
+    """Two-frames-in-flight tracking step (VERDICT r4 ask #1).
+
+    The reference's hot loop (pySLAM ``tracking.py:1082-1449``) pays zero
+    accelerator round trips; on a remote-attached TPU each same-frame
+    readback costs a full tunnel RTT (~27 ms) plus the device-queue share in
+    front of it.  This graph removes the same-frame readback entirely: frame
+    N's tracking consumes frame N-1's output WHILE IT IS STILL ON DEVICE —
+    its optimized pose (for the in-graph motion prediction) and its resolved
+    store rows + inlier flags (as the previous-frame tracked point set).
+    The host reads back frame N-1's buffer a full frame later, when it has
+    long since completed, so steady-state wall time per frame approaches
+    max(host work, device work) instead of their sum plus the RTT.
+
+    Staleness contract: the motion velocity and the local-map row set are
+    one frame stale — exactly the tolerance the reference's own
+    constant-velocity prediction and covisibility windows already assume.
+
+    Returns the standard packed layout [16 pose | 3 counts | N store_row |
+    N inlier | N mdist | 9N meta] so the output chains again.
+    """
+    N = meta.shape[0]
+    T_prev = prev_out[:16].reshape(4, 4)
+    prev_rows = prev_out[19 : 19 + N].astype(jnp.int32)
+    prev_inl = prev_out[19 + N : 19 + 2 * N] > 0
+    rows = jnp.where(prev_inl, prev_rows, -1)
+    # fixed-width prev set: N <= cap_prev (the session keypoint cap)
+    idx_prev = jnp.full((cap_prev,), -1, jnp.int32).at[:N].set(rows)
+    Tcw_pred = (vel @ T_prev).astype(jnp.float32)
+    return track_frame_fused_meta(
+        meta, kp_des,
+        store_pos, store_desc, store_normal, store_min_d, store_max_d,
+        store_valid,
+        idx_prev, idx_map,
+        Tcw_pred, K, image_bounds, scale_factors, sigma2_table, bf,
+        radius_frame, radius_frame_wide, radius_map, desc_th, ratio_map,
+        min_prev_matches=min_prev_matches,
+    )

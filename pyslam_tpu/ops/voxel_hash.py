@@ -47,12 +47,16 @@ import jax
 import jax.numpy as jnp
 
 MAX_PROBES = 16
-# probe rounds during insertion: each round costs ~2 random passes over the
+# probe rounds during insertion: each round costs ~3 random passes over the
 # update batch, and at load factor <= 0.25 virtually every key resolves
-# within 4 linear probes; unresolved leftovers are dropped for THIS batch
-# only (they retry next integrate) — keep capacity sized well above the
-# expected voxel count rather than raising this
-INSERT_ROUNDS = 4
+# within 4 linear probes.  6 rounds (not 4) because a loser racing on a
+# just-claimed slot stalls one round before advancing (see claim_round), so
+# worst-case probe REACH is rounds minus stalls — and because updates
+# unresolved within the budget are dropped PERMANENTLY for that depth view
+# (phased row-interleaved integration visits each view exactly once), the
+# budget must cover the reach, not rely on a retry.  Keep capacity sized
+# well above the expected voxel count rather than raising this further.
+INSERT_ROUNDS = 6
 
 
 class VoxelHashTable(NamedTuple):

@@ -37,6 +37,7 @@ from pyslam_tpu.ops import geometry, optim, slam_matching
 from pyslam_tpu.slam.frame import KeyFrame
 from pyslam_tpu.slam.map import Map
 from pyslam_tpu.utils.logging import Printer
+from pyslam_tpu.utils.profiling import device_counters
 from pyslam_tpu.utils.padding import (
     bucket_size,
     bucket_size_linear,
@@ -129,8 +130,9 @@ class LocalMapping:
     # ------------------------------------------------------- async schedule
     # job slices: 0=associate+cull+tri-dispatch, 1=tri-harvest (polled),
     # 2=fuse-dispatch, 3=fuse-harvest (polled), 4=lba dispatch,
-    # 5=(lba in flight), 6=apply done -> cull_kfs + handoff
-    _N_SLICES = 7
+    # 5=cull_kfs + handoff (the dispatched LBA stays in flight; _lba_poll
+    # services its chunks and applies the result independently of the job)
+    _N_SLICES = 6
 
     def step_async(self, start_new_jobs: bool = True) -> bool:
         """Advance the back-end (call once per tracked frame).  Never blocks
@@ -517,6 +519,7 @@ class LocalMapping:
             # per-keyframe handles as jit tuple args made this stage ~5x
             # SLOWER through the axon tunnel (per-ARGUMENT marshalling cost
             # dominates per-dispatch cost there)
+            device_counters.dispatches += 1
             idx2_dev, _ = slam_matching.epipolar_triangulation_match_batch(
                 kf.dev("kps"), kf.dev("levels"), kf.dev("des"),
                 jnp.asarray(free1),
@@ -532,6 +535,7 @@ class LocalMapping:
             futs = []
             for kf2, F, epi in neighbors:
                 free2 = (kf2.points < 0) & kf2.valid & ~kf2.outliers
+                device_counters.dispatches += 1
                 idx2, _ = slam_matching.epipolar_triangulation_match(
                     jnp.asarray(kf.kps), jnp.asarray(kf.levels),
                     jnp.asarray(kf.des), jnp.asarray(free1),
@@ -546,6 +550,7 @@ class LocalMapping:
     def _tri_harvest(self, kf: KeyFrame, job: dict) -> int:
         """Host half after the match futures resolved: DLT + map insert."""
         neighbors = job["neighbors"]
+        device_counters.readbacks += 1
         if "fut" in job:
             idx2_all = np.asarray(job["fut"])[: job["B"]]
         else:
@@ -646,6 +651,7 @@ class LocalMapping:
             Returns the DEVICE result (no readback here).  Stacking uses
             separate jnp.stack dispatches on purpose — see the note in
             _tri_dispatch (axon per-argument marshalling cost)."""
+            device_counters.dispatches += 1
             best, _ = slam_matching.fuse_candidates_store_batch(
                 *store,
                 jnp.asarray(cand_idx, jnp.int32),
@@ -744,6 +750,7 @@ class LocalMapping:
                     self.map.add_observation(pid, target_kf, int(kp_idx))
 
         for fut, targets, cand_pids in job["parts"]:
+            device_counters.readbacks += 1
             best = np.asarray(fut)
             for j, kf2 in enumerate(targets):
                 harvest(kf2, cand_pids, best[j, : len(cand_pids)])
@@ -972,6 +979,7 @@ class LocalMapping:
         # rounded UP to a whole chunk (at worst chunk-1 extra LM iterations
         # past ``total``, which only converges further).
         rest = total - min(chunk, total)
+        device_counters.dispatches += 1
         result = optim.bundle_adjust(
             problem, iters=min(chunk, total), return_state=True
         )
@@ -1001,6 +1009,7 @@ class LocalMapping:
             )
             n = lba["chunk"]   # fixed static iters: no compile variants
             lba["problem"] = prob
+            device_counters.dispatches += 1
             lba["result"] = optim.bundle_adjust(
                 prob, iters=n, lam0=lam_dev, return_state=True
             )
@@ -1024,6 +1033,7 @@ class LocalMapping:
         pt_idx = lba["pt_idx"]
         st = self.map.points
 
+        device_counters.readbacks += 1
         new_poses = np.asarray(new_poses_dev, np.float64)
         new_points = np.asarray(new_points_dev, np.float64)
         if not (np.isfinite(new_poses).all() and np.isfinite(new_points).all()):

@@ -203,6 +203,9 @@ class Map:
             or n_pos > DELTA_BUCKET_POS
             or n_pos > st.capacity // 4
         ):
+            from pyslam_tpu.utils.profiling import device_counters
+
+            device_counters.uploads += 6   # full store re-upload
             self._dev_store = (key, (
                 jnp.asarray(st.pos.astype(np.float32)),
                 jnp.asarray(st.desc),
@@ -218,6 +221,9 @@ class Map:
             self._dev_version = self._store_version
             return self._dev_store[1]
         if self._dev_version != self._store_version:
+            from pyslam_tpu.utils.profiling import device_counters
+
+            device_counters.dispatches += 1   # delta-scatter sync
             pos_d, desc_d, norm_d, mind_d, maxd_d, valid_d = self._dev_store[1]
             full = np.fromiter(self._dirty_full, np.int64,
                                len(self._dirty_full))

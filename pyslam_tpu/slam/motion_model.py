@@ -37,6 +37,12 @@ class MotionModel:
             return base.copy()
         return self._velocity @ base
 
+    def velocity(self) -> np.ndarray:
+        """Relative motion Tcw_cur @ inv(Tcw_prev) of the last update pair —
+        the in-graph prediction operand for the pipelined tracking step
+        (prediction = velocity @ T_prev with T_prev still on device)."""
+        return self._velocity if self.is_ok else np.eye(4)
+
 
 class MotionModelDamping(MotionModel):
     def __init__(self, damping: float = 0.95):

