@@ -286,6 +286,13 @@ def main():
         from pyslam_tpu.config_parameters import Parameters
 
         Parameters.kLogKeyFrameDecision = True
+    if os.environ.get("BENCH_PIPELINE_DEPTH"):
+        from pyslam_tpu.config_parameters import Parameters
+
+        Parameters.kTrackingPipelineDepth = int(
+            os.environ["BENCH_PIPELINE_DEPTH"])
+        print(f"ablation: pipeline depth = "
+              f"{Parameters.kTrackingPipelineDepth}", file=sys.stderr)
     # ablation knobs for latency attribution (single device queue: back-end
     # dispatches serialize with the frame-critical graphs)
     if os.environ.get("BENCH_NO_TSDF") == "1":

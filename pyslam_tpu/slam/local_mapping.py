@@ -162,6 +162,10 @@ class LocalMapping:
         wall_budget = fixed_shapes()   # accelerators: real-time bound
         max_slices = 1 if budget <= 0 else self._N_SLICES
         n_slices = 0
+        import os as _os
+
+        _dbg = _os.environ.get("PYSLAM_FRAME_TIMELINE") == "1"
+        _trace: list[tuple[int, float]] = []
         for _ in range(64):   # progress budget (each iteration is bounded)
             # LBA chunks are serviced alongside the job slices, not in front
             # of them: waiting for the whole chunked LBA before letting the
@@ -190,10 +194,21 @@ class LocalMapping:
             # job synchronously (polled stages would stretch it over several
             # frames and starve the young map)
             bootstrap = self.map.num_keyframes() <= 4
+            _ts = time.perf_counter()
+            _stage = self._job_stage
             if not self._advance_slice(block=bootstrap):
                 break      # stage waiting on an in-flight device result
+            if _dbg:
+                _trace.append((_stage, time.perf_counter() - _ts))
             n_slices += 1
             did = True
+        if _dbg and (time.perf_counter() - t0) > 0.1:
+            print(
+                "[tl-lm] "
+                + " ".join(f"s{s}:{1e3*d:.0f}" for s, d in _trace)
+                + f" total={1e3*(time.perf_counter()-t0):.0f}",
+                flush=True,
+            )
         return did
 
     def harvest(self) -> bool:

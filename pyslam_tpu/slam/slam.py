@@ -108,6 +108,10 @@ class Slam:
         the host finishes frame N (readback, keyframe decision, back-end
         slices).  Warm per-frame wall time drops to ~max(host work, device
         work) + one tunnel round trip."""
+        import time as _time
+
+        _tl = os.environ.get("PYSLAM_FRAME_TIMELINE") == "1"
+        _t0 = _time.perf_counter()
         if depth is None and self.depth_estimator is not None:
             # per-frame estimated depth (reference main_slam.py:232-245)
             depth, _ = self.depth_estimator.infer(img, img_right=img_right)
@@ -116,6 +120,7 @@ class Slam:
         # then sees the refined map — the same freshness the reference gets
         # from its mapping thread applying results mid-frame
         self.local_mapping.harvest()
+        _t1 = _time.perf_counter()
         # consume a prefetched frame (extraction already in flight)
         pre = None
         if self._prefetched is not None:
@@ -143,6 +148,7 @@ class Slam:
             img, img_right=img_right, depth=depth,
             frame_id=frame_id, timestamp=timestamp, frame=pre,
         )
+        _t2 = _time.perf_counter()
         self.tracking.on_fused_dispatched = None
         if next_input is not None and next_input.get("img_right") is not None \
                 and not fired:
@@ -181,12 +187,32 @@ class Slam:
         # one-per-frame, LBA chunks run on the device while tracking
         # continues (reference overlap: local mapping thread + abort flag)
         self.local_mapping.step_async()
+        _t3 = _time.perf_counter()
         if self.loop_closing is not None:
             self.loop_closing.step()
         if vi is not None:
             vi.step()   # at most one snapshot integration dispatch per frame
         if self.semantic_mapping is not None:
             self.semantic_mapping.step()   # one segmentation per frame max
+        if _tl:
+            _t4 = _time.perf_counter()
+            tt = self.tracking.timings.timers
+
+            def _last(k):
+                t = tt.get(k)
+                return 1e3 * t.elapsed if t is not None else 0.0
+
+            print(
+                f"[tl] f{frame_id} lm_harvest={1e3*(_t1-_t0):.0f} "
+                f"track={1e3*(_t2-_t1):.0f} "
+                f"(disp={_last('track_dispatch'):.0f} "
+                f"harv={_last('track_harvest'):.0f} "
+                f"kf={_last('kf_decision'):.0f} "
+                f"frame={_last('frame'):.0f}) "
+                f"snap+step_async={1e3*(_t3-_t2):.0f} "
+                f"lc+vi+sem={1e3*(_t4-_t3):.0f}",
+                flush=True,
+            )
         return frame
 
     def finish(self):

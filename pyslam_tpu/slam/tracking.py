@@ -964,8 +964,16 @@ class Tracking:
         N-1 is LOST, frame N runs the normal LOST/relocalize path this call.
         """
         pend, self._pending = self._pending, None
+        import os as _os
+        import time as _time
+
+        _tl = _os.environ.get("PYSLAM_FRAME_TIMELINE") == "1"
         with self.timings.stage("track_dispatch"):
             out_dev = self._dispatch_chained(f_cur, pend["out"])
+        if _tl and not pend.get("harvested"):
+            age = _time.perf_counter() - pend.get("t_dispatch", _time.perf_counter())
+            print(f"[tl-harv] f{pend['frame'].id} age={age*1e3:.0f}ms "
+                  f"ready={pend['out'].is_ready()}", flush=True)
         # enqueue the next frame's extraction behind this dispatch
         if self.on_fused_dispatched is not None:
             cb, self.on_fused_dispatched = self.on_fused_dispatched, None
@@ -1012,7 +1020,7 @@ class Tracking:
         if out_dev is not None and chain_valid:
             self._pending = {
                 "frame": f_cur, "out": out_dev, "timestamp": timestamp,
-                "harvested": False,
+                "harvested": False, "t_dispatch": _time.perf_counter(),
             }
             return ret
         # chained dispatch unavailable or predicated on a recovered pose:
@@ -1025,7 +1033,7 @@ class Tracking:
         if out2 is not None:
             self._pending = {
                 "frame": f_cur, "out": out2, "timestamp": timestamp,
-                "harvested": False,
+                "harvested": False, "t_dispatch": _time.perf_counter(),
             }
             return ret
         # cannot pipeline this frame at all: process it synchronously
