@@ -271,10 +271,16 @@ class Parameters:
     kUseFusedTrackingStep = True            # one-dispatch OK-path tracking (ops/fused_tracking.py)
     # frames in flight on the OK path: 2 = chained pipelining (frame N's
     # tracking graph consumes frame N-1's DEVICE output; the host reads each
-    # frame back one call later, hiding the tunnel RTT + device-queue share
-    # behind a full frame of wall time — ops/fused_tracking.py
+    # frame back one call later — ops/fused_tracking.py
     # track_frame_fused_chained).  1 = dispatch + same-frame readback.
-    kTrackingPipelineDepth = 2
+    # Default 1: measured on the v5e tunnel (r5 ablations), depth 2 saves
+    # only ~8 ms of the ~125 ms frame (extraction prefetch already overlaps
+    # at depth 1; the backend device-queue share dominates the readback
+    # wait) while it makes the keyframe decision run on one-frame-stale
+    # inliers — which lost tracking on fast-decaying streams.  Depth 2
+    # remains available and is guarded by an adaptive low-inlier valve
+    # (tracking._track_pipelined).
+    kTrackingPipelineDepth = 1
 
     # ---------------------------------------------------------------- TPU
     kDeviceMatchTileSize = 512              # pallas tile for distance kernels

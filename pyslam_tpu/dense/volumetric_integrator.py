@@ -103,10 +103,13 @@ class VolumetricIntegrator:
         self._kf_ref = kf
 
     # TSDF insert phases per keyframe when integrating asynchronously: the
-    # insert's random-access cost is linear in update count, so two row-
-    # interleaved halves dispatched on consecutive frames halve the largest
-    # single graph the frame-critical readback can get stuck behind
-    _TSDF_PHASES = 2
+    # insert's random-access cost is linear in update count, so row-
+    # interleaved slices dispatched on consecutive frames bound the largest
+    # single graph the frame-critical readback can get stuck behind.  3
+    # phases ~= 40 ms each on the v5e (the whole integrate is ~120 ms
+    # device), comparable to one stereo extraction — finer slices trade a
+    # little scheduling overhead for a flatter frame-latency tail.
+    _TSDF_PHASES = 3
 
     def step(self) -> bool:
         """Advance integration by ONE bounded device dispatch.

@@ -38,10 +38,12 @@ class GeoLocalizationNet(nn.Module):
     arch: str = "resnet50"
     out_dim: int = 512
     gem_eps: float = 1e-6
+    width: int = 64
 
     @nn.compact
     def __call__(self, x):  # (B,H,W,3) ImageNet-normalized
-        f = ResNet(arch=self.arch, name="backbone")(x)  # (B,h,w,C)
+        f = ResNet(arch=self.arch, width=self.width,
+                   name="backbone")(x)  # (B,h,w,C)
         f = f / jnp.maximum(
             jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
         p = self.param("gem_p", lambda k: jnp.full((1,), 3.0))
@@ -106,7 +108,8 @@ class CosPlaceExtractor:
     def __init__(self, arch: str = "resnet18", out_dim: int = 512,
                  checkpoint: str | None = None, image_hw=(480, 640)):
         self.image_hw = image_hw
-        if checkpoint:
+        self.trained = False
+        if checkpoint and not str(checkpoint).endswith(".npz"):
             import torch
 
             sd = torch.load(checkpoint, map_location="cpu", weights_only=True)
@@ -114,11 +117,37 @@ class CosPlaceExtractor:
                 sd = sd["model_state_dict"]
             self.variables, arch, out_dim = cosplace_from_torch(sd)
             self.net = GeoLocalizationNet(arch=arch, out_dim=out_dim)
+            self.trained = True
         else:
-            self.net = GeoLocalizationNet(arch=arch, out_dim=out_dim)
+            import os
+
+            if checkpoint is None:
+                # bundled in-framework-trained tiny checkpoint (procedural
+                # places, models/train_cosplace.py) — the zero-egress
+                # stand-in for the gmberton/CosPlace hub weights the
+                # reference downloads (loop_detector_vpr.py:241-248)
+                default = os.path.join(
+                    os.path.dirname(__file__), "checkpoints",
+                    "cosplace_tiny.npz",
+                )
+                if os.path.exists(default):
+                    checkpoint = default
+            width = 64
+            if checkpoint:
+                meta = np.load(checkpoint)
+                arch = str(meta["__arch__"])
+                out_dim = int(meta["__out_dim__"])
+                width = int(meta["__width__"])
+            self.net = GeoLocalizationNet(arch=arch, out_dim=out_dim,
+                                          width=width)
             self.variables = self.net.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, image_hw[0] // 4, image_hw[1] // 4, 3)))
+            if checkpoint:
+                from pyslam_tpu.models.torch_convert import load_variables_npz
+
+                self.variables = load_variables_npz(checkpoint, self.variables)
+                self.trained = True
         self.out_dim = out_dim
 
         @jax.jit

@@ -99,8 +99,10 @@ class LightGlueNet(nn.Module):
     input_dim: int = 256
 
     @nn.compact
-    def __call__(self, desc0, xy0, m0, desc1, xy1, m1):
-        """Returns (scores (N+1,M+1) log-assignment, sim matrix)."""
+    def __call__(self, desc0, xy0, m0, desc1, xy1, m1, return_aux=False):
+        """Returns (scores (N,M) log-assignment, sim matrix); with
+        ``return_aux`` also the per-keypoint matchability logits (the
+        training loss needs them, LightGlue eq. 10)."""
         inp = nn.Dense(self.dim, name="input_proj")  # shared across images
         x0 = inp(desc0)
         x1 = inp(desc1)
@@ -129,6 +131,8 @@ class LightGlueNet(nn.Module):
         la0 = jax.nn.log_sigmoid(sig0)
         la1 = jax.nn.log_sigmoid(sig1)
         scores = la0[:, None] + la1[None, :] + z0 + z1
+        if return_aux:
+            return scores, sim, sig0, sig1
         return scores, sim
 
 
@@ -137,6 +141,25 @@ class LightGlueMatcher:
 
     def __init__(self, dim: int = 256, layers: int = 9, input_dim: int = 256,
                  threshold: float = 0.1, checkpoint: str | None = None):
+        self.trained = False
+        if checkpoint is None:
+            # bundled in-framework-trained checkpoint (ambiguous-descriptor
+            # homography pairs, models/train_lightglue.py) — the zero-egress
+            # stand-in for the official weights the reference downloads
+            # (pyslam feature_lightglue wrappers).  The npz stores its own
+            # architecture dims; adopt them when the input_dim matches.
+            import os
+
+            default = os.path.join(
+                os.path.dirname(__file__), "checkpoints", "lightglue_tiny.npz"
+            )
+            if os.path.exists(default):
+                meta = np.load(default)
+                if int(meta["__input_dim__"]) == input_dim:
+                    dim = int(meta["__dim__"])
+                    layers = int(meta["__layers__"])
+                    checkpoint = default
+                    self.trained = True
         self.net = LightGlueNet(dim=dim, layers=layers, input_dim=input_dim)
         n = 32
         self.params = self.net.init(

@@ -96,6 +96,7 @@ class Bottleneck(nn.Module):
 
 
 _CONFIGS = {
+    "resnet9": (BasicBlock, (1, 1, 1, 1)),   # tiny in-framework-trained nets
     "resnet18": (BasicBlock, (2, 2, 2, 2)),
     "resnet34": (BasicBlock, (3, 4, 6, 3)),
     "resnet50": (Bottleneck, (3, 4, 6, 3)),
@@ -113,19 +114,25 @@ class ResNet(nn.Module):
 
     arch: str = "resnet50"
     dilate: Sequence[bool] = (False, False, False)
+    # stem width; stages scale (w, 2w, 4w, 8w).  64 = torchvision layout
+    # (required for converted checkpoints); smaller widths serve the tiny
+    # in-framework-trained models (zero-egress checkpoints).
+    width: int = 64
 
     @nn.compact
     def __call__(self, x, return_taps: bool = False):
         block, counts = _CONFIGS[self.arch]
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        w0 = self.width
+        x = nn.Conv(w0, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name="conv1")(x)
-        x = nn.relu(BN(64, name="bn1")(x))
+        x = nn.relu(BN(w0, name="bn1")(x))
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-np.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         taps = {}
         dilation = 1
-        for li, (planes, n) in enumerate(zip((64, 128, 256, 512), counts)):
+        for li, (planes, n) in enumerate(
+                zip((w0, 2 * w0, 4 * w0, 8 * w0), counts)):
             stride = 1 if li == 0 else 2
             prev_dilation = dilation  # torchvision: first block keeps the
             if li > 0 and self.dilate[li - 1]:  # pre-replacement dilation

@@ -415,10 +415,20 @@ def bundle_adjust(
         0, iters, body, (problem.poses, problem.points, lam_init, cost0)
     )
     if return_state:
-        # (poses, points, cost, lam): feeding lam back as lam0 makes a
-        # chunked run (N then M iters) bit-identical to one N+M-iter run —
-        # the async LBA relies on this to split iterations across polls
-        return poses, points, cost, lam
+        # (poses, points, cost, lam, inliers): feeding lam back as lam0
+        # makes a chunked run (N then M iters) bit-identical to one
+        # N+M-iter run — the async LBA relies on this to split iterations
+        # across polls.  The post-BA chi2 inlier mask rides in the SAME
+        # result (one extra residual pass, trivial next to the LM
+        # iterations): reading it at apply time costs nothing, where a
+        # separate ba_outlier_mask dispatch+readback behind a full device
+        # queue blocked the frame loop ~300 ms per LBA apply.
+        _, chi2, active = ba_cost_and_chi2(
+            problem._replace(poses=poses, points=points), use_robust=False
+        )
+        delta2 = jnp.where(problem.ur >= 0.0, CHI2_STEREO, CHI2_MONO)
+        inl = active & (chi2 <= delta2)
+        return poses, points, cost, lam, inl
     return poses, points, cost
 
 

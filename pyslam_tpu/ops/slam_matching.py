@@ -326,3 +326,74 @@ def fuse_candidates_store_batch(
 # keyframe) measured ~5x SLOWER end-to-end through the axon remote backend
 # — its per-ARGUMENT marshalling cost (50+ leaves) dwarfs the per-dispatch
 # RTT the stacks cost.  Callers deliberately stack with jnp.stack instead.
+#
+# The *_kfstore variants below supersede both: neighbor payloads live in ONE
+# device-resident stacked store (slam/kf_device_store.py) written once per
+# keyframe, and each dispatch gathers its rows in-graph — no per-call stacks,
+# no re-uploads, few small arguments.
+
+
+@jax.jit
+def epipolar_triangulation_match_kfstore(
+    # kf1 (the new keyframe) — its own device handles
+    kps1: jnp.ndarray, level1: jnp.ndarray, desc1: jnp.ndarray,
+    free1: jnp.ndarray,
+    # stacked KF device store (B, N, ...) + per-dispatch row selection
+    s_kps: jnp.ndarray, s_lvl: jnp.ndarray, s_des: jnp.ndarray,
+    rows: jnp.ndarray,          # (Bp,) int32 store rows (pad rows repeat)
+    free2: jnp.ndarray,         # (Bp, N) host mask (False rows match nothing)
+    F12: jnp.ndarray,           # (Bp, 3, 3)
+    epipole2: jnp.ndarray,      # (Bp, 2)
+    sigma2_levels: jnp.ndarray,
+    max_descriptor_distance,
+):
+    """``epipolar_triangulation_match_batch`` with neighbor payloads gathered
+    in-graph from the device-resident keyframe store."""
+    kps2 = s_kps[rows]
+    lvl2 = s_lvl[rows]
+    des2 = s_des[rows]
+
+    def one(k2, l2, d2, f2, F, ep):
+        return epipolar_triangulation_match(
+            kps1, level1, desc1, free1, k2, l2, d2, f2, F, ep,
+            sigma2_levels, max_descriptor_distance,
+        )[0]
+
+    return jax.vmap(one)(kps2, lvl2, des2, free2, F12, epipole2)
+
+
+@jax.jit
+def fuse_candidates_kfstore(
+    # device-resident point store (Map.device_store())
+    store_pos, store_desc, store_normal, store_min, store_max, store_valid,
+    # ONE shared candidate row set + per-target activity masks
+    cand_idx, cand_valid,
+    # stacked KF device store + per-dispatch target rows
+    s_kps, s_lvl, s_des, s_val, s_ur,
+    rows: jnp.ndarray,           # (Bp,) int32
+    Tcw: jnp.ndarray,            # (Bp,4,4)
+    # shared geometry
+    K, bf, image_bounds, scale_factors, sigma2_levels,
+    max_descriptor_distance,
+):
+    """``fuse_candidates_store_batch`` with the TARGET keyframes also
+    gathered in-graph (point store rows + keyframe store rows): a fuse
+    dispatch sends only indices, masks and poses across the tunnel."""
+    S = store_pos.shape[0]
+    idx = jnp.clip(cand_idx, 0, S - 1)
+    pts = store_pos[idx]
+    pdesc = store_desc[idx]
+    pnorm = store_normal[idx]
+    pmin = store_min[idx]
+    pmax = store_max[idx]
+    pvalid = store_valid[idx] & (cand_idx >= 0)
+
+    def one(cval, row, T1):
+        return fuse_candidates(
+            pts, pdesc, pnorm, pmin, pmax, pvalid & cval,
+            s_kps[row], s_lvl[row], s_des[row], s_val[row], s_ur[row],
+            T1, K, bf, image_bounds, scale_factors, sigma2_levels,
+            max_descriptor_distance,
+        )
+
+    return jax.vmap(one)(cand_valid, rows, Tcw)

@@ -168,7 +168,7 @@ class AsyncGBA:
         st = self._state
         if st is None:
             return False
-        new_poses_dev, new_points_dev, cost_dev, lam_dev = st["result"]
+        new_poses_dev, new_points_dev, cost_dev, lam_dev = st["result"][:4]
         if block:
             import jax
 

@@ -85,6 +85,29 @@ class LocalMapping:
         )
         self._cap_kps = pow2(n_feat)
         self._cap_map = pow2(Parameters.kTrackLocalMapMaxPoints)
+        # device-resident stacked keyframe store for the batch matchers
+        # (slam/kf_device_store.py): rows written once per keyframe, the
+        # tri/fuse dispatches gather them in-graph — replaces per-call
+        # jnp.stack of per-frame handles (VERDICT r4 ask #4)
+        self._kf_store = None
+
+    def _kf_rows(self, kfs):
+        """Store rows for keyframes (uploading misses); None when the
+        keyframes don't share the store's session shape."""
+        from pyslam_tpu.slam.kf_device_store import KFDeviceStore
+
+        kf0 = kfs[0]
+        N, D = kf0.kps.shape[0], kf0.des.shape[1]
+        if any(k.kps.shape[0] != N or k.des.shape[1] != D for k in kfs):
+            return None
+        ks = self._kf_store
+        if ks is None or ks.N != N or ks.D != D:
+            self._kf_store = ks = KFDeviceStore(
+                32, N, D, jnp.asarray(kf0.des[:1, :1]).dtype
+            )
+        if len(kfs) > ks.B:
+            return None
+        return ks.rows_for(kfs)
 
     # --------------------------------------------------------------- queue
     def push_keyframe(self, kf: KeyFrame):
@@ -111,7 +134,7 @@ class LocalMapping:
         a busy mapping THREAD does in the reference.  Gating insertion on
         LBA completion starves the map (LBA windows span multiple frames on
         a remote accelerator).  Likewise a job whose triangulation has
-        already harvested (stage >= 2: fuse/LBA remain) counts as accepting:
+        already harvested (stage >= 3: fuse/LBA remain) counts as accepting:
         its new map points exist, and the polled fuse/LBA tails span several
         frames each — holding keyframes for them starved the map on TPU
         (37/120 frames tracked when this gated on job completion)."""
@@ -121,18 +144,21 @@ class LocalMapping:
             # next keyframe, like the reference's mono policy
             return len(self.queue) == 0 and self._job is None
         return len(self.queue) == 0 and (
-            self._job is None or self._job_stage >= 2
+            self._job is None or self._job_stage >= 3
         )
 
     def queue_size(self) -> int:
         return len(self.queue)
 
     # ------------------------------------------------------- async schedule
-    # job slices: 0=associate+cull+tri-dispatch, 1=tri-harvest (polled),
-    # 2=fuse-dispatch, 3=fuse-harvest (polled), 4=lba dispatch,
-    # 5=cull_kfs + handoff (the dispatched LBA stays in flight; _lba_poll
-    # services its chunks and applies the result independently of the job)
-    _N_SLICES = 6
+    # job slices: 0=associate+cull (host bookkeeping), 1=tri-dispatch,
+    # 2=tri-harvest (polled), 3=fuse-dispatch, 4=fuse-harvest (polled),
+    # 5=lba dispatch, 6=cull_kfs + handoff (the dispatched LBA stays in
+    # flight; _lba_poll services its chunks and applies the result
+    # independently of the job).  Associate and tri-dispatch are separate
+    # slices on purpose: together they were a single 150-300 ms host stage
+    # — the largest single block the frame loop could stall behind.
+    _N_SLICES = 7
 
     def step_async(self, start_new_jobs: bool = True) -> bool:
         """Advance the back-end (call once per tracked frame).  Never blocks
@@ -239,18 +265,16 @@ class LocalMapping:
         t = self.timings
         s = self._job_stage
         if s == 0:
-            # associate + cull + triangulate-dispatch run together: tracking
-            # quality depends on the new keyframe's triangulated points being
-            # available soon (critical right after mono init)
             with t.stage("process_kf"):
                 self.process_new_keyframe(kf)
             with t.stage("cull_points"):
                 self.cull_map_points()
+        elif s == 1:
             with t.stage("tri_dispatch"):
                 self._tri_job = self._tri_dispatch(kf)
-            self._job_stage = 1 if self._tri_job is not None else 2
+            self._job_stage = 2 if self._tri_job is not None else 3
             return True
-        elif s == 1:
+        elif s == 2:
             job = self._tri_job
             fut = job["fut"] if "fut" in job else job["fut_list"][-1]
             if block:
@@ -260,12 +284,12 @@ class LocalMapping:
             with t.stage("triangulate"):
                 self._tri_job = None
                 self._tri_harvest(kf, job)
-        elif s == 2:
+        elif s == 3:
             with t.stage("fuse_dispatch"):
                 self._fuse_job = self._fuse_dispatch(kf)
-            self._job_stage = 3 if self._fuse_job is not None else 4
+            self._job_stage = 4 if self._fuse_job is not None else 5
             return True
-        elif s == 3:
+        elif s == 4:
             job = self._fuse_job
             fut = job["parts"][-1][0]
             if block:
@@ -275,7 +299,7 @@ class LocalMapping:
             with t.stage("fuse"):
                 self._fuse_job = None
                 self._fuse_harvest(kf, job)
-        elif s == 4:
+        elif s == 5:
             if self._lba is not None:
                 # LBA slot still busy (previous window's chunks in flight):
                 # wait for it — push_keyframe already set the abort flag if
@@ -288,9 +312,9 @@ class LocalMapping:
             if self.map.num_keyframes() > 2:
                 with t.stage("lba_dispatch"):
                     self._lba_dispatch(kf)
-            self._job_stage = 5
+            self._job_stage = 6
             return True
-        elif s >= 5:
+        elif s >= 6:
             with t.stage("cull_kfs"):
                 self.cull_keyframes(kf)
             self._trim_device_caches(kf)
@@ -497,48 +521,40 @@ class LocalMapping:
         sigma2 = jnp.asarray(self.tracker.sigma2)
         free1 = (kf.points < 0) & kf.valid & ~kf.outliers
         max_dist = float(Parameters.kMaxDescriptorDistance)
-        uniform = all(
-            n[0].kps.shape == kf.kps.shape and n[0].des.shape == kf.des.shape
-            for n in neighbors
+        rows = (
+            self._kf_rows([n[0] for n in neighbors])
+            if neighbors[0][0].kps.shape == kf.kps.shape
+            and neighbors[0][0].des.shape == kf.des.shape
+            else None
         )
-        if uniform:
+        if rows is not None:
             # one batched dispatch over the neighbor axis, padded to the
-            # FIXED covisibility cap (pad rows replicate neighbor 0 with
-            # free2=False so they match nothing).  A fixed pad width means
-            # exactly ONE compiled graph per config for the life of the run
-            # — geometric buckets here caused a recompile every time the
-            # covisibility degree crossed a power of two, and each ~2s
-            # compile landed in the keyframe-frame latency path.  The padded
-            # tail is a leading batch dim: trivial extra MXU work vs a 30ms
-            # tunnel RTT per dispatch.
+            # FIXED covisibility cap (pad rows repeat row 0 with free2=False
+            # so they match nothing).  A fixed pad width means exactly ONE
+            # compiled graph per config for the life of the run.  Neighbor
+            # payloads are gathered IN-GRAPH from the device-resident
+            # keyframe store (one row write per keyframe's lifetime) — only
+            # row indices, the small free masks (mutable: they depend on
+            # current point assignments) and the 3x3 F / epipole blocks
+            # cross the tunnel here.
             B = len(neighbors)
             Bp = max(2, n_neighbors)
             pad = Bp - B
-            kf2s = [n[0] for n in neighbors] + [neighbors[0][0]] * pad
-            # neighbor keypoint/descriptor payloads ride the keyframes'
-            # cached DEVICE handles (Frame.dev) — only the small free masks
-            # (mutable: they depend on current point assignments) and the
-            # 3x3 F / epipole blocks cross the tunnel here
-            kps2 = jnp.stack([k.dev("kps") for k in kf2s])
-            lvl2 = jnp.stack([k.dev("levels") for k in kf2s])
-            des2 = jnp.stack([k.dev("des") for k in kf2s])
+            rows_p = np.concatenate([rows, np.full(pad, rows[0], np.int32)])
             free2 = np.stack(
-                [(k.points < 0) & k.valid & ~k.outliers
-                 for k in kf2s[:B]]
-                + [np.zeros_like(kf2s[0].valid, bool)] * pad
+                [(n[0].points < 0) & n[0].valid & ~n[0].outliers
+                 for n in neighbors]
+                + [np.zeros_like(neighbors[0][0].valid, bool)] * pad
             )
             Fs = np.stack([n[1] for n in neighbors] + [neighbors[0][1]] * pad)
             epis = np.stack([n[2] for n in neighbors] + [neighbors[0][2]] * pad)
-            # NOTE: the neighbor payloads are stacked with separate jnp.stack
-            # dispatches on purpose — a "packed" variant passing the 10
-            # per-keyframe handles as jit tuple args made this stage ~5x
-            # SLOWER through the axon tunnel (per-ARGUMENT marshalling cost
-            # dominates per-dispatch cost there)
+            ks = self._kf_store
             device_counters.dispatches += 1
-            idx2_dev, _ = slam_matching.epipolar_triangulation_match_batch(
+            idx2_dev = slam_matching.epipolar_triangulation_match_kfstore(
                 kf.dev("kps"), kf.dev("levels"), kf.dev("des"),
                 jnp.asarray(free1),
-                kps2, lvl2, des2,
+                ks.kps, ks.levels, ks.des,
+                jnp.asarray(rows_p),
                 jnp.asarray(free2),
                 jnp.asarray(Fs, jnp.float32), jnp.asarray(epis, jnp.float32),
                 sigma2, max_dist,
@@ -662,11 +678,27 @@ class LocalMapping:
 
         def dispatch(cand_idx, valid_rows, targets):
             """One store-indexed device call: shared candidate rows
-            (cand_idx, padded) x per-target masks x stacked targets.
-            Returns the DEVICE result (no readback here).  Stacking uses
-            separate jnp.stack dispatches on purpose — see the note in
-            _tri_dispatch (axon per-argument marshalling cost)."""
+            (cand_idx, padded) x per-target masks x target keyframes.
+            Returns the DEVICE result (no readback here).  Target payloads
+            are gathered in-graph from the keyframe device store when the
+            shapes match (rows is not None); the stacked fallback keeps
+            mixed-shape sessions working."""
             device_counters.dispatches += 1
+            rows = self._kf_rows(targets)
+            if rows is not None:
+                ks = self._kf_store
+                best, _ = slam_matching.fuse_candidates_kfstore(
+                    *store,
+                    jnp.asarray(cand_idx, jnp.int32),
+                    jnp.asarray(np.stack(valid_rows)),
+                    ks.kps, ks.levels, ks.des, ks.valid, ks.kps_ur,
+                    jnp.asarray(rows),
+                    jnp.asarray(
+                        np.stack([t.Tcw for t in targets]).astype(np.float32)
+                    ),
+                    *shared_args,
+                )
+                return best
             best, _ = slam_matching.fuse_candidates_store_batch(
                 *store,
                 jnp.asarray(cand_idx, jnp.int32),
@@ -1011,7 +1043,8 @@ class LocalMapping:
         the current chunk's device result is ready, either dispatch the next
         chunk or (last chunk / abort requested) apply the result."""
         lba = self._lba
-        new_poses_dev, new_points_dev, cost_dev, lam_dev = lba["result"]
+        (new_poses_dev, new_points_dev, cost_dev, lam_dev,
+         inl_dev) = lba["result"]
         if block:
             import jax
 
@@ -1032,12 +1065,13 @@ class LocalMapping:
             return True
         if self.opt_abort_flag and lba["iters_left"] > 0:
             self.lba_chunks_aborted += 1
-        self._lba_apply(lba, new_poses_dev, new_points_dev)
+        self._lba_apply(lba, new_poses_dev, new_points_dev, inl_dev)
         self._lba = None
         self.opt_abort_flag = False
         return True
 
-    def _lba_apply(self, lba: dict, new_poses_dev, new_points_dev):
+    def _lba_apply(self, lba: dict, new_poses_dev, new_points_dev,
+                   inl_dev=None):
         """Write back LBA results; guards against map mutations that happened
         while the chunks were in flight (culled keyframes, dead points)."""
         local_pids = lba["local_pids"]
@@ -1055,12 +1089,17 @@ class LocalMapping:
             Printer.red("LBA diverged (non-finite result): discarding update")
             return
 
-        # outlier observation pruning (post-BA chi2, reference removes edges)
-        inlier_mask = np.asarray(optim.ba_outlier_mask(
-            lba["problem"]._replace(
-                poses=jnp.asarray(new_poses, jnp.float32),
-                points=jnp.asarray(new_points, jnp.float32))
-        ))[: len(cam_idx)]
+        # outlier observation pruning (post-BA chi2, reference removes
+        # edges); the mask rides in the bundle_adjust result buffer, so
+        # reading it here is free — it resolved with the chunk we polled
+        if inl_dev is not None:
+            inlier_mask = np.asarray(inl_dev)[: len(cam_idx)]
+        else:
+            inlier_mask = np.asarray(optim.ba_outlier_mask(
+                lba["problem"]._replace(
+                    poses=jnp.asarray(new_poses, jnp.float32),
+                    points=jnp.asarray(new_points, jnp.float32))
+            ))[: len(cam_idx)]
         for o in np.nonzero(~inlier_mask)[0]:
             pid = int(local_pids[pt_idx[o]])
             kid = all_kids[cam_idx[o]]

@@ -1017,6 +1017,21 @@ class Tracking:
             # the normal LOST/relocalize path right now (no frame dropped)
             return self._track_core(f_cur, frame_id, timestamp)
 
+        # adaptive depth: the pipeline makes the keyframe decision run on
+        # one-frame-stale inliers and spawn keyframes one frame late — fine
+        # in steady state, fatal when tracking decays fast (the map ages out
+        # of view within 2-3 frames; the CPU stereo stream lost tracking at
+        # depth 2 exactly this way).  Below the danger threshold, process
+        # THIS frame synchronously (depth-1 semantics: fresh inliers feed
+        # the keyframe decision this very frame); the pipeline re-forms on
+        # the next healthy frame.
+        danger = max(
+            2 * Parameters.kNumMinInliersTrackLocalMap,
+            int(0.04 * self.tracker.num_features),
+        )
+        if self.num_inliers < danger:
+            return self._track_core(f_cur, frame_id, timestamp)
+
         if out_dev is not None and chain_valid:
             self._pending = {
                 "frame": f_cur, "out": out_dev, "timestamp": timestamp,
