@@ -30,17 +30,18 @@ import numpy as np
 W, H = 640.0, 480.0
 N_KPS = 64          # keypoints per image
 N_TRUE = 40         # ground-truth correspondences per pair
-N_POOL = 12         # descriptor pool size (repeated-texture ambiguity)
+N_POOL = 8          # descriptor pool size (repeated-texture ambiguity)
+AMBIG_FRAC = 0.5    # fraction of keypoints drawing from the shared pool
 DESC_DIM = 256
-DIM = 64            # matcher width (tiny)
-LAYERS = 3
+DIM = 96            # matcher width (tiny)
+LAYERS = 4
 HEADS = 4
 
 
 def random_homography(rng: np.random.Generator) -> np.ndarray:
     """Similarity + mild perspective, mapping image coords to image coords."""
-    ang = rng.uniform(-0.5, 0.5)
-    s = rng.uniform(0.8, 1.25)
+    ang = rng.uniform(-0.15, 0.15)
+    s = rng.uniform(0.9, 1.15)
     tx, ty = rng.uniform(-60, 60, 2)
     c, si = np.cos(ang), np.sin(ang)
     Hm = np.array(
@@ -55,12 +56,16 @@ def warp_points(Hm: np.ndarray, xy: np.ndarray) -> np.ndarray:
     return p[:, :2] / np.maximum(np.abs(p[:, 2:3]), 1e-9) * np.sign(p[:, 2:3])
 
 
-def make_pair(rng: np.random.Generator):
+def make_pair(rng: np.random.Generator, n_pool: int = N_POOL):
     """One training pair.
 
     Returns (desc0, xy0, desc1, xy1, gt) with gt[i] = matching index in
-    image 1 for keypoint i of image 0, or -1."""
-    pool = rng.normal(size=(N_POOL, DESC_DIM)).astype(np.float32)
+    image 1 for keypoint i of image 0, or -1.  ``n_pool`` controls the
+    descriptor ambiguity (smaller = more keypoints share a descriptor =
+    harder): the trainer anneals it as a curriculum — the net first learns
+    descriptor matching on nearly-unique descriptors, then geometric
+    disambiguation as the pools shrink."""
+    pool = rng.normal(size=(n_pool, DESC_DIM)).astype(np.float32)
     pool /= np.linalg.norm(pool, axis=1, keepdims=True)
 
     xy0 = rng.uniform([40, 40], [W - 40, H - 40], (N_KPS, 2)).astype(
@@ -70,10 +75,16 @@ def make_pair(rng: np.random.Generator):
     xy1 = np.empty_like(xy0)
     gt = np.full(N_KPS, -1, np.int64)
 
-    # descriptors drawn from the shared pool: several keypoints per pool
-    # entry => NN matching is ambiguous by construction
-    pick = rng.integers(0, N_POOL, N_KPS)
-    d0 = pool[pick] + 0.15 * rng.normal(size=(N_KPS, DESC_DIM))
+    # a fraction of keypoints draws from the small shared pool (repeated
+    # texture: NN matching ambiguous by construction); the rest get unique
+    # descriptors.  The matcher must keep the easy half AND use geometry
+    # for the ambiguous half — mutual-NN can only do the former.
+    ambig = rng.random(N_KPS) < AMBIG_FRAC
+    pick = rng.integers(0, n_pool, N_KPS)
+    uniq = rng.normal(size=(N_KPS, DESC_DIM)).astype(np.float32)
+    uniq /= np.linalg.norm(uniq, axis=1, keepdims=True)
+    base0 = np.where(ambig[:, None], pool[pick], uniq)
+    d0 = base0 + 0.15 * rng.normal(size=(N_KPS, DESC_DIM))
     d1 = np.empty_like(d0)
 
     # first N_TRUE keypoints correspond through the homography
@@ -89,14 +100,18 @@ def make_pair(rng: np.random.Generator):
             gt[i] = j
         else:
             xy1[j] = rng.uniform([40, 40], [W - 40, H - 40])
-        d1[j] = pool[pick[i]] + 0.15 * rng.normal(size=DESC_DIM)
+        d1[j] = base0[i] + 0.15 * rng.normal(size=DESC_DIM)
     # unmatched keypoints of image 1: fresh positions, pool descriptors
     for i in range(N_TRUE, N_KPS):
         j = perm[i]
         xy1[j] = rng.uniform([40, 40], [W - 40, H - 40])
-        d1[j] = pool[rng.integers(0, N_POOL)] + 0.15 * rng.normal(
-            size=DESC_DIM
-        )
+        if rng.random() < AMBIG_FRAC:
+            d1[j] = pool[rng.integers(0, n_pool)] + 0.15 * rng.normal(
+                size=DESC_DIM
+            )
+        else:
+            u = rng.normal(size=DESC_DIM)
+            d1[j] = u / np.linalg.norm(u) + 0.15 * rng.normal(size=DESC_DIM)
 
     d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
     d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
@@ -106,8 +121,8 @@ def make_pair(rng: np.random.Generator):
     )
 
 
-def make_batch(rng: np.random.Generator, b: int):
-    cols = [make_pair(rng) for _ in range(b)]
+def make_batch(rng: np.random.Generator, b: int, n_pool: int = N_POOL):
+    cols = [make_pair(rng, n_pool) for _ in range(b)]
     return tuple(np.stack([c[k] for c in cols]) for k in range(5))
 
 
@@ -143,8 +158,8 @@ def loss_fn(net, params, d0, xy0, d1, xy1, gt):
     return nll + 0.5 * (bce(sig0, tgt0) + bce(sig1, tgt1))
 
 
-def train(steps: int = 400, batch: int = 16, lr: float = 2e-4, seed: int = 0,
-          log_every: int = 50):
+def train(steps: int = 6000, batch: int = 16, lr: float = 1e-3, seed: int = 0,
+          log_every: int = 100):
     import optax
 
     net = build_net()
@@ -156,7 +171,10 @@ def train(steps: int = 400, batch: int = 16, lr: float = 2e-4, seed: int = 0,
         jnp.zeros((N_KPS, DESC_DIM)), jnp.zeros((N_KPS, 2)),
         jnp.ones((N_KPS,), bool),
     )
-    opt = optax.adam(lr)
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.cosine_decay_schedule(lr, steps)),
+    )
     opt_state = opt.init(params)
 
     batched = jax.vmap(
@@ -173,7 +191,11 @@ def train(steps: int = 400, batch: int = 16, lr: float = 2e-4, seed: int = 0,
         return optax.apply_updates(params, updates), opt_state, loss
 
     for i in range(steps):
-        d0, xy0, d1, xy1, gt = make_batch(rng, batch)
+        # ambiguity curriculum: nearly-unique descriptors first, then pools
+        # shrink to the target N_POOL over the first 60% of training
+        frac = min(1.0, i / max(1, int(0.6 * steps)))
+        n_pool = int(round(64 + (N_POOL - 64) * frac))
+        d0, xy0, d1, xy1, gt = make_batch(rng, batch, n_pool)
         params, opt_state, loss = step(
             params, opt_state,
             jnp.asarray(d0), jnp.asarray(xy0), jnp.asarray(d1),

@@ -209,11 +209,17 @@ class LocalMapping:
                 self._job = self.queue.popleft()
                 self._job_stage = 0
                 self.kf_cur = self._job
-            if did and (
+            over = (
                 (time.perf_counter() - t0 > budget)
                 if wall_budget
                 else (n_slices >= max_slices)
-            ):
+            )
+            # stage 1 (triangulation dispatch) is budget-EXEMPT: it now
+            # costs ~10-20 ms host (keyframe-store row gathers — no stacks,
+            # no uploads) and deferring it a frame delays the keyframe's new
+            # map points exactly when tracking needs them most (the map ages
+            # out of view within 2-3 frames on fast turns)
+            if did and over and self._job_stage != 1:
                 break
             # bootstrap: while the map is tiny, tracking quality depends on
             # each keyframe's points landing before the next frame — run the
